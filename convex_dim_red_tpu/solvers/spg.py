@@ -1,0 +1,306 @@
+"""Spectral projected gradient (SPG) solvers, TPU-native.
+
+Implements Birgin–Martinez–Raydan SPG (Algorithm 813) with a Grippo
+nonmonotone line search and Barzilai–Borwein (Cauchy) step sizes, as two
+jittable solvers:
+
+- :func:`spg` — generic projected-gradient descent over user callables
+  ``f``/``df``/``project``.  Behavioral parity with the reference's
+  Python implementation (src/convex_dim_red/spg.py:46-283): same
+  zero-initialized nonmonotone memory, same step-length safeguards, same
+  dual (2-norm / infinity-norm) convergence criteria.  The three
+  data-dependent loops of the reference (descent iterations, line search,
+  convergence) become ``lax.while_loop``s so the whole solve stays on
+  device inside one XLA computation.
+
+- :func:`quad_simplex_spg` — the specialized simplex-constrained
+  quadratic program ``min 1/2 x'Ax + b'x  s.t. x in simplex`` (reference
+  spg.py:286-398), caching ``Ax`` so each line-search trial costs one
+  matvec.  :func:`quad_simplex_spg_batch` vmaps it over rows with a
+  shared Hessian: under ``vmap`` the per-row ``A @ x`` matvecs fuse into
+  ``X @ A`` matmuls that run on the MXU, and per-row convergence is
+  handled by vmap's lockstep masking of the while loops — the batch
+  finishes when its slowest row does, with converged rows riding along at
+  their fixed points (the vectorization the reference gets from
+  ``guvectorize(..., target='parallel')`` threads, reference
+  archetypal_analysis.py:344-366).
+
+Differences from the reference (documented, not behavioral bugs):
+``n_iter`` counts iterations executed (reference returns the last
+zero-based loop index), and the final redundant ``f(x)`` re-evaluation is
+reused rather than recomputed (identical value; the feval counter still
+mirrors the reference's bookkeeping so ``max_feval`` caps align).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.simplex_projection import simplex_project_vector
+
+__all__ = [
+    "spg",
+    "quad_simplex_spg",
+    "quad_simplex_spg_batch",
+    "line_search_step_length",
+    "cauchy_step_size",
+]
+
+
+def line_search_step_length(lam, delta, f_old, f_new,
+                            sigma_one=0.1, sigma_two=0.9):
+    """Safeguarded quadratic-interpolation step length.
+
+    Parity with reference ``spg_line_search_step_length``
+    (spg.py:19-33); a non-finite interpolation (zero curvature) falls
+    back to bisection exactly as the reference's range check does.
+    """
+    denom = f_new - f_old - lam * delta
+    tmp = -0.5 * lam * lam * delta / denom
+    ok = (sigma_one <= tmp) & (tmp <= sigma_two * lam)
+    return jnp.where(ok, tmp, 0.5 * lam)
+
+
+def cauchy_step_size(beta, sksk, alpha_min=1e-3, alpha_max=1e3):
+    """Barzilai–Borwein (Cauchy) step size with safeguards.
+
+    Parity with reference ``spg_line_search_cauchy_step_size``
+    (spg.py:36-43).
+    """
+    safe_beta = jnp.where(beta <= 0, 1.0, beta)
+    return jnp.where(beta <= 0, alpha_max,
+                     jnp.clip(sksk / safe_beta, alpha_min, alpha_max))
+
+
+def _norms(res):
+    res2 = jnp.sqrt(jnp.sum(res * res))
+    resinf = jnp.max(jnp.abs(res))
+    return res2, resinf
+
+
+def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
+        sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
+        alpha0=None, alpha_min=1e-5, alpha_max=1e3,
+        epsilon_one=1e-10, epsilon_two=1e-6,
+        use_infinity_norm=True,
+        max_iterations=10000, max_feval=1000000):
+    """Minimize ``f`` by projected gradient descent with nonmonotone line search.
+
+    Parameters mirror the reference ``spg`` (spg.py:46-134).  ``f``,
+    ``df`` and ``project`` must be JAX-traceable; ``x0`` may be a scalar
+    or an array of any shape.  Fully jittable.
+
+    Returns ``(x, f_min, n_iter, n_feval)`` where ``n_iter`` is the
+    number of descent iterations executed.
+    """
+    x = jnp.asarray(x0)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.result_type(float)
+    x = x.astype(dtype)
+
+    if project is not None:
+        x = project(x)
+
+    f_old = f(x)
+    n_feval = jnp.asarray(1, dtype=jnp.int32)
+    gk = df(x)
+
+    if alpha0 is not None:
+        alpha = jnp.asarray(alpha0, dtype=dtype)
+    elif project is None:
+        alpha = 1.0 / jnp.max(jnp.abs(gk))
+    else:
+        alpha_inv = jnp.max(jnp.abs(project(x - gk) - x))
+        alpha = jnp.where(jnp.abs(alpha_inv) > 1e-12, 1.0 / alpha_inv, 1.0)
+
+    # Reference initializes the nonmonotone memory with zeros (spg.py:153).
+    f_mem = jnp.zeros((memory,), dtype=dtype)
+
+    def _dir(x, g, a):
+        if project is None:
+            return -a * g
+        return project(x - a * g) - x
+
+    def _residual(x, g):
+        if project is None:
+            return -g
+        return project(x - g) - x
+
+    def cond(carry):
+        x, gk, alpha, f_old, f_mem, n_iter, n_feval, done = carry
+        return (~done) & (n_iter < max_iterations)
+
+    def body(carry):
+        x, gk, alpha, f_old, f_mem, n_iter, n_feval, done = carry
+
+        dk = _dir(x, gk, alpha)
+
+        f_mem_new = jnp.roll(f_mem, 1).at[0].set(f_old)
+        f_max = jnp.max(f_mem_new)
+
+        delta = jnp.sum(dk * gk)
+
+        lam = jnp.asarray(1.0, dtype=dtype)
+        x_new = x + dk
+        f_new = f(x_new)
+        n_feval = n_feval + 1
+
+        def ls_cond(ls):
+            lam, x_new, f_new, n_feval, underflow = ls
+            return (f_new > f_max + gamma * lam * delta) & (~underflow)
+
+        def ls_body(ls):
+            lam, x_new, f_new, n_feval, underflow = ls
+            lam = line_search_step_length(
+                lam, delta, f_old, f_new, sigma_one, sigma_two)
+            x_new = x + lam * dk
+            f_new = f(x_new)
+            underflow = jnp.abs(lam) < lambda_min
+            return lam, x_new, f_new, n_feval + 1, underflow
+
+        lam, x_new, f_new, n_feval, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (lam, x_new, f_new, n_feval, jnp.asarray(False)))
+
+        gk_new = df(x_new)
+        yk = gk_new - gk
+
+        sksk = lam * lam * jnp.sum(dk * dk)
+        betak = lam * jnp.sum(dk * yk)
+        alpha = cauchy_step_size(betak, sksk, alpha_min, alpha_max)
+
+        # Reference recomputes f(x) here (spg.py:243) — identical value;
+        # reuse it but keep the counter in lockstep.
+        f_old_new = f_new
+        n_feval = n_feval + 1
+
+        res = _residual(x_new, gk_new)
+        res2, resinf = _norms(res)
+
+        converged = res2 < epsilon_two
+        if use_infinity_norm:
+            converged = converged | (resinf < epsilon_one)
+
+        done = converged | (n_feval > max_feval)
+
+        return (x_new, gk_new, alpha, f_old_new, f_mem_new,
+                n_iter + 1, n_feval, done)
+
+    init = (x, gk, alpha, f_old, f_mem,
+            jnp.asarray(0, dtype=jnp.int32), n_feval, jnp.asarray(False))
+    x, gk, alpha, f_old, f_mem, n_iter, n_feval, done = jax.lax.while_loop(
+        cond, body, init)
+
+    return x, f_old, n_iter, n_feval
+
+
+def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
+                     sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
+                     alpha0=-1.0, alpha_min=1e-5, alpha_max=1e3,
+                     epsilon_one=1e-10, epsilon_two=1e-6,
+                     max_iterations=1000, max_feval=2000):
+    """Solve ``min 1/2 x'Ax + b'x`` over the standard simplex.
+
+    Same problem, stopping criteria, and BB-step safeguards as the
+    reference ``quad_simplex_spg`` (spg.py:286-398), with one deliberate
+    TPU-first redesign: because the objective is an exact quadratic, the
+    backtracking Armijo line search is replaced by the closed-form exact
+    line minimizer along the projected-gradient direction,
+
+        lam* = clip(-(d'g) / (d'Ad), 0, 1).
+
+    This (a) removes the nested data-dependent line-search loop (one
+    matvec per iteration instead of 2+; ``A @ x`` is carried incrementally
+    as ``Ax + lam * Ad``), and (b) eliminates the catastrophic
+    cancellation of comparing nearly-equal objective values in float32 —
+    the decrease ``lam*d'g + lam^2/2 d'Ad`` is formed from increments, so
+    the solver converges instead of stalling at the iteration cap on TPU
+    (measured: the Armijo variant left 53% of rows >1e-4 above the f64
+    optimum on a 1788x8 batch; see repo verification notes).  Exact line
+    search makes every step monotone, so the nonmonotone memory
+    parameters (``gamma``, ``memory``, ``sigma_*``, ``lambda_min``) are
+    accepted for API parity but unused.
+
+    The first-iteration step size and the dual-norm convergence test
+    mirror the reference.  Jittable; designed to be ``vmap``ed over rows
+    (see :func:`quad_simplex_spg_batch`).
+    """
+    del gamma, memory, sigma_one, sigma_two, lambda_min  # parity only
+
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    x = simplex_project_vector(jnp.asarray(x0))
+    dtype = x.dtype
+
+    Ax = A @ x
+
+    g0 = Ax + b
+    if alpha_min <= alpha0 <= alpha_max:
+        alpha = jnp.asarray(alpha0, dtype=dtype)
+    else:
+        alpha_inv = jnp.max(jnp.abs(simplex_project_vector(x - g0) - x))
+        alpha_inv = jnp.where(jnp.abs(alpha_inv) < 1e-12, 1.0, alpha_inv)
+        alpha = jnp.clip(1.0 / alpha_inv, alpha_min, alpha_max)
+
+    # A step too small to change x at this dtype means no further
+    # representable progress: exit instead of burning the iteration cap.
+    stall_eps = float(jnp.finfo(dtype).eps)
+
+    max_outer = min(max_iterations, max_feval)
+
+    def cond(carry):
+        x, Ax, alpha, n_iter, done = carry
+        return (~done) & (n_iter < max_outer)
+
+    def body(carry):
+        x, Ax, alpha, n_iter, done = carry
+
+        gk = Ax + b
+        dk = simplex_project_vector(x - alpha * gk) - x
+        Adk = A @ dk
+
+        delta = dk @ gk          # directional derivative, <= 0
+        q = dk @ Adk             # curvature along dk
+
+        safe_q = jnp.where(q > 0, q, 1.0)
+        lam = jnp.where(q > 0, jnp.clip(-delta / safe_q, 0.0, 1.0),
+                        jnp.asarray(1.0, dtype=dtype))
+
+        x_new = x + lam * dk
+        Ax_new = Ax + lam * Adk
+
+        # Barzilai-Borwein spectral step: sksk/betak with the lam^2
+        # factors cancelled (sksk = lam^2 d'd, betak = lam^2 d'Ad).
+        sksk = dk @ dk
+        alpha = cauchy_step_size(q, sksk, alpha_min, alpha_max)
+
+        gk_new = Ax_new + b
+        res = simplex_project_vector(x_new - gk_new) - x_new
+        res2, resinf = _norms(res)
+
+        step_inf = lam * jnp.max(jnp.abs(dk))
+        stalled = step_inf <= stall_eps * (1.0 + jnp.max(jnp.abs(x_new)))
+
+        done = (res2 < epsilon_two) | (resinf < epsilon_one) | stalled
+
+        return x_new, Ax_new, alpha, n_iter + 1, done
+
+    init = (x, Ax, alpha, jnp.asarray(0, dtype=jnp.int32),
+            jnp.asarray(False))
+    x, Ax, alpha, n_iter, done = jax.lax.while_loop(cond, body, init)
+
+    return x
+
+
+def quad_simplex_spg_batch(A, B, X0, **solver_kwargs):
+    """Solve ``n`` simplex QPs sharing the Hessian ``A`` in lockstep.
+
+    ``A``: (k, k) shared Hessian; ``B``: (n, k) per-row linear terms;
+    ``X0``: (n, k) per-row feasible initial guesses.  Returns (n, k).
+
+    This is the TPU replacement for the reference's
+    ``guvectorize(..., target='parallel')`` per-sample solves
+    (archetypal_analysis.py:344-366, gpnh_convex_coding.py:229-251):
+    under ``vmap`` every per-row matvec becomes one ``(n, k) @ (k, k)``
+    matmul on the MXU and per-row convergence is masked automatically.
+    """
+    solve = lambda b, x0: quad_simplex_spg(A, b, x0, **solver_kwargs)
+    return jax.vmap(solve)(B, X0)
