@@ -39,6 +39,7 @@ from ..ops.simplex_projection import simplex_project_vector
 
 __all__ = [
     "spg",
+    "quad_spg",
     "quad_simplex_spg",
     "quad_simplex_spg_batch",
     "line_search_step_length",
@@ -192,6 +193,80 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
     return x, f_old, n_iter, n_feval
 
 
+def quad_spg(matvec, B, x0, project, alpha0=-1.0,
+             alpha_min=1e-5, alpha_max=1e3,
+             epsilon_one=1e-10, epsilon_two=1e-6,
+             max_iterations=1000):
+    """Projected spectral gradient for ``min 0.5<x,Hx> - <B,x>`` over a
+    convex set, with H given as a PSD linear operator ``matvec``.
+
+    ``x0``/``B`` may be arrays of any shape (vector or matrix variables);
+    ``project`` maps onto the feasible set.  Uses Barzilai–Borwein step
+    sizes with the closed-form exact line minimizer along the projected
+    direction (the objective restricted to the segment is an exact 1-D
+    quadratic), so no objective values are ever compared — in float32
+    this is what keeps the solver from stalling on cancellation (see
+    :func:`quad_simplex_spg`).  One ``matvec`` per iteration; ``H x`` is
+    carried incrementally.
+
+    This one solver powers all three AA subproblems (weights rows,
+    dictionary, scale factors) and the GPNH weights update; the reference
+    solves each with the Armijo-backtracking machinery of spg.py:46-398.
+    """
+    x = project(jnp.asarray(x0))
+    dtype = x.dtype
+    B = jnp.asarray(B)
+
+    Hx = matvec(x)
+    g0 = Hx - B
+    if alpha_min <= alpha0 <= alpha_max:
+        alpha = jnp.asarray(alpha0, dtype=dtype)
+    else:
+        alpha_inv = jnp.max(jnp.abs(project(x - g0) - x))
+        alpha_inv = jnp.where(jnp.abs(alpha_inv) < 1e-12, 1.0, alpha_inv)
+        alpha = jnp.clip(1.0 / alpha_inv, alpha_min, alpha_max)
+
+    stall_eps = float(jnp.finfo(dtype).eps)
+
+    def cond(carry):
+        x, Hx, alpha, n_iter, done = carry
+        return (~done) & (n_iter < max_iterations)
+
+    def body(carry):
+        x, Hx, alpha, n_iter, done = carry
+
+        g = Hx - B
+        d = project(x - alpha * g) - x
+        Hd = matvec(d)
+
+        delta = jnp.sum(d * g)
+        q = jnp.sum(d * Hd)
+
+        safe_q = jnp.where(q > 0, q, 1.0)
+        lam = jnp.where(q > 0, jnp.clip(-delta / safe_q, 0.0, 1.0),
+                        jnp.asarray(1.0, dtype=dtype))
+
+        x_new = x + lam * d
+        Hx_new = Hx + lam * Hd
+
+        sksk = jnp.sum(d * d)
+        alpha = cauchy_step_size(q, sksk, alpha_min, alpha_max)
+
+        g_new = Hx_new - B
+        res = project(x_new - g_new) - x_new
+        res2, resinf = _norms(res)
+
+        step_inf = lam * jnp.max(jnp.abs(d))
+        stalled = step_inf <= stall_eps * (1.0 + jnp.max(jnp.abs(x_new)))
+
+        done = (res2 < epsilon_two) | (resinf < epsilon_one) | stalled
+        return x_new, Hx_new, alpha, n_iter + 1, done
+
+    init = (x, Hx, alpha, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    x, Hx, alpha, n_iter, done = jax.lax.while_loop(cond, body, init)
+    return x
+
+
 def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
                      sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
                      alpha0=-1.0, alpha_min=1e-5, alpha_max=1e3,
@@ -227,67 +302,11 @@ def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
 
     A = jnp.asarray(A)
     b = jnp.asarray(b)
-    x = simplex_project_vector(jnp.asarray(x0))
-    dtype = x.dtype
-
-    Ax = A @ x
-
-    g0 = Ax + b
-    if alpha_min <= alpha0 <= alpha_max:
-        alpha = jnp.asarray(alpha0, dtype=dtype)
-    else:
-        alpha_inv = jnp.max(jnp.abs(simplex_project_vector(x - g0) - x))
-        alpha_inv = jnp.where(jnp.abs(alpha_inv) < 1e-12, 1.0, alpha_inv)
-        alpha = jnp.clip(1.0 / alpha_inv, alpha_min, alpha_max)
-
-    # A step too small to change x at this dtype means no further
-    # representable progress: exit instead of burning the iteration cap.
-    stall_eps = float(jnp.finfo(dtype).eps)
-
-    max_outer = min(max_iterations, max_feval)
-
-    def cond(carry):
-        x, Ax, alpha, n_iter, done = carry
-        return (~done) & (n_iter < max_outer)
-
-    def body(carry):
-        x, Ax, alpha, n_iter, done = carry
-
-        gk = Ax + b
-        dk = simplex_project_vector(x - alpha * gk) - x
-        Adk = A @ dk
-
-        delta = dk @ gk          # directional derivative, <= 0
-        q = dk @ Adk             # curvature along dk
-
-        safe_q = jnp.where(q > 0, q, 1.0)
-        lam = jnp.where(q > 0, jnp.clip(-delta / safe_q, 0.0, 1.0),
-                        jnp.asarray(1.0, dtype=dtype))
-
-        x_new = x + lam * dk
-        Ax_new = Ax + lam * Adk
-
-        # Barzilai-Borwein spectral step: sksk/betak with the lam^2
-        # factors cancelled (sksk = lam^2 d'd, betak = lam^2 d'Ad).
-        sksk = dk @ dk
-        alpha = cauchy_step_size(q, sksk, alpha_min, alpha_max)
-
-        gk_new = Ax_new + b
-        res = simplex_project_vector(x_new - gk_new) - x_new
-        res2, resinf = _norms(res)
-
-        step_inf = lam * jnp.max(jnp.abs(dk))
-        stalled = step_inf <= stall_eps * (1.0 + jnp.max(jnp.abs(x_new)))
-
-        done = (res2 < epsilon_two) | (resinf < epsilon_one) | stalled
-
-        return x_new, Ax_new, alpha, n_iter + 1, done
-
-    init = (x, Ax, alpha, jnp.asarray(0, dtype=jnp.int32),
-            jnp.asarray(False))
-    x, Ax, alpha, n_iter, done = jax.lax.while_loop(cond, body, init)
-
-    return x
+    return quad_spg(
+        lambda x: A @ x, -b, x0, simplex_project_vector,
+        alpha0=alpha0, alpha_min=alpha_min, alpha_max=alpha_max,
+        epsilon_one=epsilon_one, epsilon_two=epsilon_two,
+        max_iterations=min(max_iterations, max_feval))
 
 
 def quad_simplex_spg_batch(A, B, X0, **solver_kwargs):
