@@ -12,6 +12,8 @@ TPU-specific parallel APIs.
 
 from .models.archetypal_analysis import ArchetypalAnalysis, KernelAA
 from .models.gpnh_convex_coding import GPNHConvexCoding
+from .models.kmeans import KMeans, gap_statistic, kmeans_fit
+from .models.pca import PCA
 from .ops.furthest_sum import furthest_sum, furthest_sum_device
 from .ops.simplex_projection import (
     simplex_project,
@@ -31,6 +33,10 @@ __all__ = [
     "ArchetypalAnalysis",
     "KernelAA",
     "GPNHConvexCoding",
+    "KMeans",
+    "PCA",
+    "gap_statistic",
+    "kmeans_fit",
     "furthest_sum",
     "furthest_sum_device",
     "simplex_project",
