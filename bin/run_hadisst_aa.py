@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Thin shim for the hadisst_aa case-study driver
+(mirrors reference bin/run_hadisst_aa.py)."""
+import sys
+from convex_dim_red_tpu.cli.drivers import hadisst_aa_main
+
+if __name__ == '__main__':
+    sys.exit(hadisst_aa_main() or 0)

@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Thin shim for the hadisst_kmeans case-study driver
+(mirrors reference bin/run_hadisst_kmeans.py)."""
+import sys
+from convex_dim_red_tpu.cli.drivers import hadisst_kmeans_main
+
+if __name__ == '__main__':
+    sys.exit(hadisst_kmeans_main() or 0)

@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Thin shim for the jra55_kmeans case-study driver
+(mirrors reference bin/run_jra55_kmeans.py)."""
+import sys
+from convex_dim_red_tpu.cli.drivers import jra55_kmeans_main
+
+if __name__ == '__main__':
+    sys.exit(jra55_kmeans_main() or 0)

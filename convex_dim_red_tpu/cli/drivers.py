@@ -1,0 +1,323 @@
+"""Case-study driver mains.
+
+Seven drivers mirroring the reference ``bin/`` CLIs (same flags, same
+output variable/attribute schema; reference bin/run_hadisst_aa.py and
+siblings), built on the shared template in :mod:`.common`.  Each is
+exposed both as ``python -m convex_dim_red_tpu.cli.drivers <name> ...``
+and through thin ``bin/run_*.py`` shims.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import common
+from .common import (add_common_args, apply_platform,
+                     validate_common_args, load_field,
+                     aa_analysis, gpnh_analysis, kmeans_analysis,
+                     build_output_dataset)
+from .specs import HADISST, JRA55_HGT, JRA55_PCS
+from ..pipelines.preprocess import (missing_feature_mask,
+                                    train_validation_split,
+                                    weight_and_flatten)
+from ..pipelines.dataset import Variable
+
+
+def _prepare(args, spec, gridded=True, standardize=False):
+    """Shared load/filter/weight/flatten/split preamble."""
+    var_name = spec.var_name
+    if getattr(args, 'standardized', False) and spec.std_var_name:
+        var_name = spec.std_var_name
+
+    field = load_field(
+        args.input_file, var_name, spec.time_name,
+        lat_name=spec.lat_name if gridded else None,
+        start_year=spec.start_year, end_year=spec.end_year,
+        min_latitude=spec.min_latitude, max_latitude=spec.max_latitude,
+        lat_weights=getattr(args, 'lat_weights', spec.default_lat_weights),
+        restrict_to_base_period=getattr(args, 'restrict_to_base_period',
+                                        False))
+
+    flat = weight_and_flatten(field['data'], field['weights'])
+    missing = missing_feature_mask(flat)
+    valid = flat[:, ~missing]
+
+    if standardize and getattr(args, 'standardize', False):
+        valid = valid / np.std(valid, axis=0, keepdims=True)
+
+    train, val, n_train = train_validation_split(
+        valid, validation_frac=spec.validation_frac)
+
+    ds = field['dataset']
+    feature_coords = {}
+    for d in field['feature_dims']:
+        if d in ds.coords:
+            feature_coords[d] = ds.coords[d]
+
+    return field, missing, train, val, n_train, feature_coords
+
+
+def _write_output(args, spec, field, missing, result_vars, attrs,
+                  n_train, feature_coords, pattern_name):
+    ds = field['dataset']
+    time_attrs = (ds.coords[spec.time_name].attrs
+                  if spec.time_name in ds.coords else {})
+    out = build_output_dataset(
+        weights=result_vars['weights'],
+        dictionary_over_samples=result_vars.get('dictionary'),
+        patterns=result_vars['patterns'],
+        cost_deltas=result_vars.get('cost_deltas'),
+        time_values=field['time_values'],
+        time_name=spec.time_name, time_attrs=time_attrs,
+        feature_dims=field['feature_dims'],
+        feature_shape=field['feature_shape'],
+        feature_coords=feature_coords,
+        missing_mask=missing,
+        n_components=args.n_components,
+        attrs=attrs, pattern_name=pattern_name)
+    out.attrs['input_file'] = args.input_file
+    for key in ('base_period_start_year', 'base_period_end_year'):
+        if key in ds.attrs:
+            out.attrs[key] = str(ds.attrs[key])
+    if args.random_seed is not None:
+        out.attrs['random_seed'] = '{:d}'.format(args.random_seed)
+    out.to_netcdf(args.output_file)
+
+
+# ---------------------------------------------------------------------------
+# AA drivers
+# ---------------------------------------------------------------------------
+
+
+def _aa_main(spec, description, dictionary_solver_kwargs,
+             weights_solver_kwargs, stopping_criterion,
+             gridded=True, standardize=False, pattern_name='archetypes',
+             argv=None):
+    parser = argparse.ArgumentParser(description=description)
+    add_common_args(parser, 'aa')
+    if gridded:
+        parser.add_argument('--lat-weights', dest='lat_weights',
+                            choices=['none', 'cos', 'scos'],
+                            default=spec.default_lat_weights)
+        parser.add_argument('--cross-validate', dest='cross_validate',
+                            action='store_true')
+        parser.add_argument('--n-folds', dest='n_folds', type=int,
+                            default=10)
+        parser.add_argument('--standardized', dest='standardized',
+                            action='store_true')
+        parser.add_argument('--restrict-to-base-period',
+                            dest='restrict_to_base_period',
+                            action='store_true')
+    if standardize:
+        parser.add_argument('--standardize', dest='standardize',
+                            action='store_true')
+    args = parser.parse_args(argv)
+    validate_common_args(args)
+    apply_platform(args)
+
+    field, missing, train, val, n_train, feature_coords = _prepare(
+        args, spec, gridded=gridded, standardize=standardize)
+
+    best, attrs = aa_analysis(
+        train, val, n_components=args.n_components, delta=args.delta,
+        init=args.init, n_init=args.n_init, tolerance=args.tolerance,
+        max_iterations=args.max_iterations, random_seed=args.random_seed,
+        cross_validate=getattr(args, 'cross_validate', False),
+        n_folds=getattr(args, 'n_folds', 10),
+        dictionary_solver_kwargs=dictionary_solver_kwargs,
+        weights_solver_kwargs=weights_solver_kwargs,
+        stopping_criterion=stopping_criterion, verbose=args.verbose)
+    attrs['lat_weights'] = getattr(args, 'lat_weights', 'none')
+
+    result_vars = {
+        'weights': np.asarray(best['weights']),
+        'dictionary': np.asarray(best['dictionary']),
+        'patterns': np.asarray(best['archetypes']),
+        'cost_deltas': np.asarray(best['cost_deltas']),
+    }
+    _write_output(args, spec, field, missing, result_vars, attrs,
+                  n_train, feature_coords, pattern_name)
+
+
+def hadisst_aa_main(argv=None):
+    """Mirror of reference bin/run_hadisst_aa.py (dictionary solver
+    capped at one SPG step per outer iteration, :165)."""
+    _aa_main(HADISST, 'Run archetypal analysis on HadISST SST anomalies',
+             dictionary_solver_kwargs={'max_iterations': 1},
+             weights_solver_kwargs=None,
+             stopping_criterion='abs_delta_f', argv=argv)
+
+
+def jra55_pca_aa_main(argv=None):
+    """Mirror of reference bin/run_jra55_pca_aa.py (both inner solvers
+    capped at one step, rel_delta_f stopping, :119-130)."""
+    _aa_main(JRA55_PCS,
+             'Run archetypal analysis on JRA-55 hgt500 principal '
+             'components',
+             dictionary_solver_kwargs={'max_iterations': 1},
+             weights_solver_kwargs={'max_iterations': 1},
+             stopping_criterion='rel_delta_f',
+             gridded=False, standardize=True, argv=argv)
+
+
+# ---------------------------------------------------------------------------
+# GPNH drivers
+# ---------------------------------------------------------------------------
+
+
+def _gpnh_main(spec, description, weights_solver_kwargs, stopping_criterion,
+               gridded=True, standardize=False, argv=None):
+    parser = argparse.ArgumentParser(description=description)
+    add_common_args(parser, 'gpnh')
+    if gridded:
+        parser.add_argument('--lat-weights', dest='lat_weights',
+                            choices=['none', 'cos', 'scos'],
+                            default=spec.default_lat_weights)
+        parser.add_argument('--cross-validate', dest='cross_validate',
+                            action='store_true')
+        parser.add_argument('--n-folds', dest='n_folds', type=int,
+                            default=10)
+        parser.add_argument('--standardized', dest='standardized',
+                            action='store_true')
+        parser.add_argument('--restrict-to-base-period',
+                            dest='restrict_to_base_period',
+                            action='store_true')
+    if standardize:
+        parser.add_argument('--standardize', dest='standardize',
+                            action='store_true')
+    args = parser.parse_args(argv)
+    validate_common_args(args)
+    apply_platform(args)
+
+    field, missing, train, val, n_train, feature_coords = _prepare(
+        args, spec, gridded=gridded, standardize=standardize)
+
+    best, attrs = gpnh_analysis(
+        train, val, n_components=args.n_components, lambda_W=args.lambda_W,
+        init=args.init, n_init=args.n_init, tolerance=args.tolerance,
+        max_iterations=args.max_iterations, random_seed=args.random_seed,
+        cross_validate=getattr(args, 'cross_validate', False),
+        n_folds=getattr(args, 'n_folds', 10),
+        weights_solver_kwargs=weights_solver_kwargs,
+        stopping_criterion=stopping_criterion, verbose=args.verbose)
+    attrs['lat_weights'] = getattr(args, 'lat_weights', 'none')
+
+    # GPNH dictionary is (n_features, k); patterns are its columns.
+    result_vars = {
+        'weights': np.asarray(best.weights),
+        'dictionary': None,
+        'patterns': np.asarray(best.dictionary).T,
+        'cost_deltas': np.asarray(best.cost_deltas),
+    }
+    _write_output(args, spec, field, missing, result_vars, attrs,
+                  n_train, feature_coords, pattern_name='dictionary')
+
+
+def hadisst_gpnh_main(argv=None):
+    """Mirror of reference bin/run_hadisst_gpnh.py."""
+    _gpnh_main(HADISST,
+               'Run GPNH convex coding on HadISST SST anomalies',
+               weights_solver_kwargs=None,
+               stopping_criterion='abs_delta_f', argv=argv)
+
+
+def jra55_pca_gpnh_main(argv=None):
+    """Mirror of reference bin/run_jra55_pca_gpnh.py (weights solver
+    capped at one step, rel_delta_f, :119-129)."""
+    _gpnh_main(JRA55_PCS,
+               'Run GPNH convex coding on JRA-55 hgt500 principal '
+               'components',
+               weights_solver_kwargs={'max_iterations': 1},
+               stopping_criterion='rel_delta_f',
+               gridded=False, standardize=True, argv=argv)
+
+
+# ---------------------------------------------------------------------------
+# k-means drivers
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_main(spec, description, gridded=True, standardize=False,
+                 argv=None):
+    parser = argparse.ArgumentParser(description=description)
+    add_common_args(parser, 'kmeans')
+    if gridded:
+        parser.add_argument('--lat-weights', dest='lat_weights',
+                            choices=['none', 'cos', 'scos'],
+                            default=spec.default_lat_weights)
+        parser.add_argument('--standardized', dest='standardized',
+                            action='store_true')
+        parser.add_argument('--restrict-to-base-period',
+                            dest='restrict_to_base_period',
+                            action='store_true')
+    if standardize:
+        parser.add_argument('--standardize', dest='standardize',
+                            action='store_true')
+    args = parser.parse_args(argv)
+    validate_common_args(args)
+    apply_platform(args)
+
+    field, missing, train, val, n_train, feature_coords = _prepare(
+        args, spec, gridded=gridded, standardize=standardize)
+
+    model, onehot, attrs = kmeans_analysis(
+        train, val, n_components=args.n_components, n_init=args.n_init,
+        max_iterations=args.max_iterations, n_trials=args.n_trials,
+        reference=args.reference, random_seed=args.random_seed,
+        verbose=args.verbose)
+    attrs['lat_weights'] = getattr(args, 'lat_weights', 'none')
+
+    result_vars = {
+        'weights': onehot,
+        'dictionary': None,
+        'patterns': np.asarray(model.cluster_centers_),
+        'cost_deltas': None,
+    }
+    _write_output(args, spec, field, missing, result_vars, attrs,
+                  n_train, feature_coords, pattern_name='centroids')
+
+
+def hadisst_kmeans_main(argv=None):
+    """Mirror of reference bin/run_hadisst_kmeans.py."""
+    _kmeans_main(HADISST,
+                 'Run k-means clustering on HadISST SST anomalies',
+                 argv=argv)
+
+
+def jra55_kmeans_main(argv=None):
+    """Mirror of reference bin/run_jra55_kmeans.py (gridded hgt500)."""
+    _kmeans_main(JRA55_HGT,
+                 'Run k-means clustering on JRA-55 hgt500 anomalies',
+                 argv=argv)
+
+
+def jra55_pca_kmeans_main(argv=None):
+    """Mirror of reference bin/run_jra55_pca_kmeans.py."""
+    _kmeans_main(JRA55_PCS,
+                 'Run k-means clustering on JRA-55 hgt500 principal '
+                 'components', gridded=False, standardize=True, argv=argv)
+
+
+DRIVERS = {
+    'hadisst_aa': hadisst_aa_main,
+    'hadisst_gpnh': hadisst_gpnh_main,
+    'hadisst_kmeans': hadisst_kmeans_main,
+    'jra55_kmeans': jra55_kmeans_main,
+    'jra55_pca_aa': jra55_pca_aa_main,
+    'jra55_pca_gpnh': jra55_pca_gpnh_main,
+    'jra55_pca_kmeans': jra55_pca_kmeans_main,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in DRIVERS:
+        print('usage: python -m convex_dim_red_tpu.cli.drivers '
+              '{%s} ...' % ','.join(DRIVERS), file=sys.stderr)
+        return 2
+    return DRIVERS[argv[0]](argv[1:])
+
+
+if __name__ == '__main__':
+    sys.exit(main() or 0)

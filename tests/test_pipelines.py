@@ -1,0 +1,248 @@
+"""End-to-end pipeline tests: synthetic raw data -> anomalies -> drivers.
+
+Exercises the netCDF(HDF5) IO layer, the notebook-derived preprocessing,
+and the case-study driver template on a small synthetic HadISST-schema
+dataset.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from convex_dim_red_tpu.pipelines.dataset import (Dataset, Variable,
+                                                  decode_cf_time,
+                                                  open_dataset)
+from convex_dim_red_tpu.pipelines import preprocess as pp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# Dataset IO
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "rt.nc")
+    ds = Dataset(
+        data_vars={'x': Variable(('time', 'lat'), rng.standard_normal(
+            (5, 3)), {'units': 'K'})},
+        coords={'time': Variable(('time',), np.arange(5.0),
+                                 {'units': 'days since 2000-1-1'}),
+                'lat': Variable(('lat',), np.array([0.0, 10.0, 20.0]))},
+        attrs={'title': 'test', 'base_period_start_year': '1981'})
+    ds.to_netcdf(path)
+
+    back = open_dataset(path)
+    assert np.allclose(back['x'].data, ds['x'].data)
+    assert back['x'].dims == ('time', 'lat')
+    assert back.attrs['title'] == 'test'
+    assert np.allclose(back.coords['lat'].data, [0, 10, 20])
+
+
+def test_decode_cf_time_days():
+    t = Variable(('time',), np.array([0.0, 31.0, 59.0, 365.0]),
+                 {'units': 'days since 2000-1-1'})
+    years, months = decode_cf_time(t)
+    assert years.tolist() == [2000, 2000, 2000, 2000]
+    assert months.tolist() == [1, 2, 2, 12]
+
+
+def test_decode_cf_time_hours_and_months():
+    t = Variable(('time',), np.array([0.0, 24.0 * 40]),
+                 {'units': 'hours since 1958-1-1'})
+    years, months = decode_cf_time(t)
+    assert years.tolist() == [1958, 1958]
+    assert months.tolist() == [1, 2]
+
+    t = Variable(('time',), np.array([0, 13]),
+                 {'units': 'months since 1870-1-1'})
+    years, months = decode_cf_time(t)
+    assert years.tolist() == [1870, 1871]
+    assert months.tolist() == [1, 2]
+
+
+def test_sel_time_years_and_range(tmp_path):
+    n = 48
+    ds = Dataset(
+        data_vars={'x': Variable(('time', 'lat'),
+                                 np.arange(n * 3.0).reshape(n, 3))},
+        coords={'time': Variable(('time',),
+                                 np.arange(n) * 30.4375,
+                                 {'units': 'days since 2000-1-1'}),
+                'lat': Variable(('lat',), np.array([-50.0, 0.0, 50.0]))})
+    sub = ds.sel_time_years('time', 2001, 2001)
+    assert sub.dims['time'] == 12
+    sub2 = ds.sel_range('lat', -45.5, 45.5)
+    assert sub2.dims['lat'] == 1
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing
+# ---------------------------------------------------------------------------
+
+
+def test_latitude_weights():
+    lats = np.array([0.0, 60.0, 90.0])
+    assert np.allclose(pp.latitude_weights(lats, 'cos'),
+                       [1.0, 0.5, 0.0], atol=1e-12)
+    # cos(pi/2) rounds to ~6e-17, so its sqrt is ~8e-9 (same in the
+    # reference's implementation).
+    assert np.allclose(pp.latitude_weights(lats, 'scos'),
+                       [1.0, np.sqrt(0.5), 0.0], atol=1e-8)
+    assert np.allclose(pp.latitude_weights(lats, 'none'), 1.0)
+    with pytest.raises(ValueError):
+        pp.latitude_weights(lats, 'bogus')
+
+
+def test_moving_average_trend_recovers_linear_trend():
+    n = 120
+    t = np.arange(n, dtype=float)
+    data = (2.0 + 0.05 * t)[:, None] + np.cos(
+        2 * np.pi * t / 12)[:, None] * np.ones((1, 4))
+    ma = pp.moving_average_trend(data, period=12)
+    # Away from boundaries the 13-point half-weight window kills the
+    # period-12 cycle exactly and returns the linear trend.
+    interior = slice(6, n - 6)
+    assert np.allclose(ma[interior], (2.0 + 0.05 * t)[interior, None],
+                       atol=1e-10)
+    assert np.isnan(ma[:6]).all() and np.isnan(ma[-6:]).all()
+
+
+def test_monthly_anomalies_remove_cycle_and_trend():
+    rng = np.random.RandomState(0)
+    n = 240
+    t = np.arange(n, dtype=float)
+    years = 1981 + (t // 12).astype(int)
+    cycle = 3.0 * np.sin(2 * np.pi * t / 12)
+    trend = 0.01 * t
+    signal = rng.standard_normal(n) * 0.1
+    data = (10.0 + cycle + trend + signal)[:, None] * np.ones((1, 5))
+
+    anom, trend_fit, seasonal, base = pp.calculate_monthly_anomalies(
+        data, years, period=12, trend_order=1)
+
+    # Anomalies should be small relative to the removed structure.
+    assert np.nanstd(anom) < 0.3
+    assert base == (1981, 2000)
+    # Seasonal cycle should match the planted sinusoid closely.
+    assert np.corrcoef(seasonal[:, 0], cycle)[0, 1] > 0.99
+
+
+def test_standardize_by_month():
+    rng = np.random.RandomState(1)
+    n = 120
+    months = np.arange(n) % 12 + 1
+    years = 2000 + np.arange(n) // 12
+    data = rng.standard_normal((n, 3)) * (months[:, None] + 1.0)
+    out = pp.standardize_by_month(data, months, years, (2000, 2009))
+    for m in range(1, 13):
+        sel = months == m
+        assert np.allclose(out[sel].std(axis=0), 1.0, atol=1e-10)
+        assert np.allclose(out[sel].mean(axis=0), 0.0, atol=1e-10)
+
+
+def test_polynomial_trend_vectorized_matches_polyfit():
+    rng = np.random.RandomState(2)
+    data = rng.standard_normal((50, 4)).cumsum(axis=0)
+    data[:, 2] = np.nan  # missing feature stays missing
+    trend = pp.calculate_polynomial_trend(data, trend_order=2)
+    for j in (0, 1, 3):
+        coeffs = np.polyfit(np.arange(50.0), data[:, j], 2)
+        fitted = np.polyval(coeffs, np.arange(50.0))
+        assert np.allclose(trend['fitted_value'][:, j], fitted, atol=1e-8)
+    assert np.isnan(trend['fitted_value'][:, 2]).all()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end driver run on synthetic data
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synthetic_anomalies(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("hadisst")
+    raw = str(tmp / "raw.nc")
+    anom = str(tmp / "anom.nc")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin",
+                                      "make_synthetic_hadisst.py"),
+         raw, "--n-years", "30", "--n-lat", "24", "--n-lon", "36",
+         "--start-year", "1989"],
+        check=True, env=env, cwd=REPO)
+    subprocess.run(
+        [sys.executable, "-m", "convex_dim_red_tpu.cli.anomalies",
+         raw, anom, "--var-name", "sst",
+         "--base-period-start-year", "1994",
+         "--base-period-end-year", "2013"],
+        check=True, env=env, cwd=REPO)
+    return anom
+
+
+def test_anomaly_pipeline_output(synthetic_anomalies):
+    ds = open_dataset(synthetic_anomalies)
+    assert 'sst_anom' in ds and 'sst_std_anom' in ds
+    assert ds.attrs['base_period_start_year'] == '1994'
+    anom = ds['sst_anom'].data
+    # Ocean cells are finite; land stays NaN; anomalies are centered.
+    finite = np.isfinite(anom).any(axis=0)
+    assert finite.any() and (~finite).any()
+    assert abs(np.nanmean(anom)) < 0.1
+
+
+def _run_driver(name, synthetic_anomalies, tmpdir, extra):
+    out = str(tmpdir / f"{name}.nc")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "convex_dim_red_tpu.cli.drivers", name,
+         synthetic_anomalies, out, "--platform", "cpu"] + extra,
+        check=True, env=env, cwd=REPO)
+    return open_dataset(out)
+
+
+def test_hadisst_aa_driver_end_to_end(synthetic_anomalies, tmp_path):
+    ds = _run_driver("hadisst_aa", synthetic_anomalies, tmp_path,
+                     ["--n-components", "3", "--n-init", "4",
+                      "--tolerance", "1e-4", "--max-iterations", "100",
+                      "--random-seed", "0"])
+    for var in ("weights", "dictionary", "archetypes", "cost_deltas"):
+        assert var in ds, var
+    W = ds['weights'].data
+    assert np.allclose(W.sum(axis=1), 1.0, atol=1e-6)
+    arch = ds['archetypes'].data
+    assert arch.shape[0] == 3 and arch.ndim == 3
+    # NaN-refilled land cells present in patterns.
+    assert np.isnan(arch).any() and np.isfinite(arch).any()
+    for attr in ('training_set_cost', 'training_set_rmse', 'test_set_cost',
+                 'test_set_rmse', 'n_iter', 'avg_time_per_iter',
+                 'elapsed_time', 'n_init', 'tolerance', 'lat_weights',
+                 'random_seed'):
+        assert attr in ds.attrs, attr
+
+
+def test_hadisst_kmeans_driver_end_to_end(synthetic_anomalies, tmp_path):
+    ds = _run_driver("hadisst_kmeans", synthetic_anomalies, tmp_path,
+                     ["--n-components", "2", "--n-init", "3",
+                      "--n-trials", "5", "--random-seed", "0"])
+    assert 'weights' in ds and 'centroids' in ds
+    W = ds['weights'].data
+    assert set(np.unique(W)).issubset({0.0, 1.0})
+    assert np.allclose(W.sum(axis=1), 1.0)
+    for attr in ('gap_statistic', 'gap_sk', 'training_set_inertia',
+                 'elapsed_time'):
+        assert attr in ds.attrs
+
+
+def test_hadisst_gpnh_driver_end_to_end(synthetic_anomalies, tmp_path):
+    ds = _run_driver("hadisst_gpnh", synthetic_anomalies, tmp_path,
+                     ["--n-components", "2", "--n-init", "2",
+                      "--lambda-W", "1e-3", "--tolerance", "1e-4",
+                      "--max-iterations", "50", "--random-seed", "0"])
+    assert 'weights' in ds and 'dictionary' in ds
+    assert np.allclose(ds['weights'].data.sum(axis=1), 1.0, atol=1e-6)
+    assert 'lambda_W' in ds.attrs
