@@ -1,0 +1,74 @@
+"""Model-selection sweeps: k = 2..K x N restarts, sharded over a mesh.
+
+The stretch benchmark config (BASELINE.md config 5): batched
+multi-restart AA/GPNH sweeps across component counts.  Each ``k`` is a
+separate XLA program (shapes differ), but within a ``k`` all restarts
+run as one sharded on-device batch; results aggregate into the
+model-selection table the analysis notebooks consume.
+"""
+
+import time
+
+import jax
+import numpy as np
+
+from .restarts import aa_fit_restarts
+from ..models.kmeans import KMeans, gap_statistic
+
+__all__ = ["aa_model_selection_sweep", "kmeans_model_selection_sweep"]
+
+
+def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
+                             init='furthest_sum', tolerance=1e-5,
+                             stopping_criterion='rel_delta_f',
+                             max_iterations=500, mesh=None,
+                             validation_data=None, **solver_kwargs):
+    """Fit AA for every k in ``ks`` with ``n_init`` sharded restarts.
+
+    Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', ...}}`` suitable
+    for :func:`pipelines.analysis.model_selection_table`.
+    """
+    results = {}
+    for k in ks:
+        key, sub = jax.random.split(key)
+        start = time.perf_counter()
+        fit = aa_fit_restarts(
+            data, int(k), sub, n_init, delta=delta, init=init,
+            tolerance=tolerance, stopping_criterion=stopping_criterion,
+            max_iterations=max_iterations, mesh=mesh, **solver_kwargs)
+        elapsed = time.perf_counter() - start
+
+        recon = np.asarray(fit['weights'] @ fit['archetypes'])
+        entry = {
+            'cost': fit['cost'],
+            'rmse': float(np.sqrt(np.mean(
+                (recon - np.asarray(data)) ** 2))),
+            'n_iter': fit['n_iter'],
+            'elapsed': elapsed,
+            'costs': np.asarray(fit['costs']),
+        }
+        results[int(k)] = entry
+    return results
+
+
+def kmeans_model_selection_sweep(data, ks, key, n_init=10, n_trials=100,
+                                 reference='uniform', max_iter=300):
+    """K-means + gap statistic for every k (the reference's gap-based
+    model selection, kmeans.py:81-108 + notebooks)."""
+    results = {}
+    for k in ks:
+        key, k_fit, k_gap = jax.random.split(key, 3)
+        start = time.perf_counter()
+        model = KMeans(n_clusters=int(k), n_init=n_init,
+                       max_iter=max_iter, random_state=k_fit).fit(data)
+        gap, sk = gap_statistic(data, model.inertia_, int(k),
+                                n_trials=n_trials, reference=reference,
+                                random_state=k_gap)
+        results[int(k)] = {
+            'cost': model.inertia_,
+            'gap': gap,
+            'gap_sk': sk,
+            'n_iter': model.n_iter_,
+            'elapsed': time.perf_counter() - start,
+        }
+    return results

@@ -226,14 +226,22 @@ def quad_spg(matvec, B, x0, project, alpha0=-1.0,
         alpha_inv = jnp.where(jnp.abs(alpha_inv) < 1e-12, 1.0, alpha_inv)
         alpha = jnp.clip(1.0 / alpha_inv, alpha_min, alpha_max)
 
-    stall_eps = float(jnp.finfo(dtype).eps)
+    # Progress-based exit: the exact per-iteration decrease
+    # -(lam*delta + lam^2/2 q) is formed from line-search scalars with no
+    # cancellation.  Once it falls below the dtype's resolution of the
+    # objective for a few consecutive iterations, further iterations
+    # cannot make representable progress (this matters when alpha_min
+    # clips the BB step far above 1/lambda_max on badly scaled problems:
+    # the residual criteria never fire but every step is microscopic).
+    progress_eps = 32.0 * float(jnp.finfo(dtype).eps)
+    stall_limit = 3
 
     def cond(carry):
-        x, Hx, alpha, n_iter, done = carry
+        x, Hx, alpha, n_iter, stall_count, done = carry
         return (~done) & (n_iter < max_iterations)
 
     def body(carry):
-        x, Hx, alpha, n_iter, done = carry
+        x, Hx, alpha, n_iter, stall_count, done = carry
 
         g = Hx - B
         d = project(x - alpha * g) - x
@@ -256,14 +264,20 @@ def quad_spg(matvec, B, x0, project, alpha0=-1.0,
         res = project(x_new - g_new) - x_new
         res2, resinf = _norms(res)
 
-        step_inf = lam * jnp.max(jnp.abs(d))
-        stalled = step_inf <= stall_eps * (1.0 + jnp.max(jnp.abs(x_new)))
+        decrease = -(lam * delta + 0.5 * lam * lam * q)
+        f_scale = jnp.abs(0.5 * jnp.sum(x_new * Hx_new)
+                          - jnp.sum(B * x_new)) + jnp.finfo(dtype).tiny
+        no_progress = decrease <= progress_eps * f_scale
+        stall_count = jnp.where(no_progress, stall_count + 1, 0)
 
-        done = (res2 < epsilon_two) | (resinf < epsilon_one) | stalled
-        return x_new, Hx_new, alpha, n_iter + 1, done
+        done = ((res2 < epsilon_two) | (resinf < epsilon_one)
+                | (stall_count >= stall_limit))
+        return x_new, Hx_new, alpha, n_iter + 1, stall_count, done
 
-    init = (x, Hx, alpha, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    x, Hx, alpha, n_iter, done = jax.lax.while_loop(cond, body, init)
+    init = (x, Hx, alpha, jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    x, Hx, alpha, n_iter, stall_count, done = jax.lax.while_loop(
+        cond, body, init)
     return x
 
 

@@ -1,0 +1,145 @@
+"""Tests for analysis utilities, sweeps, checkpointing, profiling."""
+
+import numpy as np
+import jax
+import pytest
+
+from convex_dim_red_tpu.pipelines.analysis import (
+    embed_states, model_selection_table, pattern_correlation,
+    reconstruction_rmse, sort_states, write_model_selection_csv)
+from convex_dim_red_tpu.parallel.sweep import (
+    aa_model_selection_sweep, kmeans_model_selection_sweep)
+from convex_dim_red_tpu.utils.checkpoint import (
+    load_checkpoint, resume_kernel_aa, save_checkpoint)
+from convex_dim_red_tpu.utils.profiling import Timer, block_and_time
+
+
+def test_pattern_correlation_identity_and_sign():
+    rng = np.random.RandomState(0)
+    R = rng.standard_normal((3, 40))
+    corr = pattern_correlation(R, R)
+    assert np.allclose(np.diag(corr), 1.0, atol=1e-12)
+    corr = pattern_correlation(-R, R)
+    assert np.allclose(np.diag(corr), -1.0, atol=1e-12)
+
+
+def test_pattern_correlation_ignores_nan_cells():
+    rng = np.random.RandomState(1)
+    R = rng.standard_normal((2, 30))
+    P = R.copy()
+    P[:, :5] = np.nan
+    corr = pattern_correlation(P, R)
+    assert np.allclose(np.diag(corr), 1.0, atol=1e-12)
+
+
+def test_sort_states_recovers_permutation():
+    rng = np.random.RandomState(2)
+    R = rng.standard_normal((4, 60))
+    perm = np.array([2, 0, 3, 1])
+    signs_true = np.array([1, -1, 1, -1])
+    P = signs_true[:, None] * R[perm] + 0.01 * rng.standard_normal((4, 60))
+
+    # P[i] matches R[perm[i]]; sorting P against R should invert that.
+    order, signs, corr = sort_states(P, R)
+    for j in range(4):
+        assert perm[order[j]] == j
+        assert signs[j] == signs_true[order[j]]
+
+
+def test_model_selection_table_and_csv(tmp_path):
+    results = {3: {'cost': 1.0, 'gap': 0.5},
+               2: {'cost': 2.0, 'gap': 0.3, 'gap_sk': 0.01}}
+    header, rows = model_selection_table(results)
+    assert header[0] == 'k'
+    assert rows[0][0] == 2 and rows[1][0] == 3
+    path = str(tmp_path / "ms.csv")
+    write_model_selection_csv(path, results)
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 3 and lines[0].startswith('k,')
+
+
+def test_reconstruction_rmse_zero_for_exact():
+    rng = np.random.RandomState(3)
+    W = rng.rand(20, 3)
+    P = rng.standard_normal((3, 15))
+    assert reconstruction_rmse(W @ P, W, P) < 1e-12
+
+
+def test_embed_states_shapes():
+    rng = np.random.RandomState(4)
+    W = rng.rand(30, 3)
+    W /= W.sum(axis=1, keepdims=True)
+    emb = embed_states(W, method='mds')
+    assert emb.shape == (30, 2)
+    with pytest.raises(ValueError):
+        embed_states(W, method='umap')
+
+
+def test_aa_sweep_costs_decrease_with_k():
+    rng = np.random.RandomState(5)
+    basis = rng.standard_normal((4, 8))
+    Z = rng.rand(80, 4)
+    Z /= Z.sum(axis=1, keepdims=True)
+    # Plant exact hull vertices so the k=4 optimum is near-zero cost.
+    for comp, idx in enumerate([3, 20, 45, 71]):
+        Z[idx] = 0.0
+        Z[idx, comp] = 1.0
+    X = Z @ basis + 0.001 * rng.standard_normal((80, 8))
+
+    results = aa_model_selection_sweep(
+        X, ks=[2, 3, 4], key=jax.random.PRNGKey(0), n_init=8,
+        tolerance=1e-10, max_iterations=300)
+    costs = [results[k]['cost'] for k in (2, 3, 4)]
+    assert costs[0] > costs[1] > costs[2]
+    # With the true k=4 the planted structure is essentially recovered.
+    assert costs[2] < 0.01
+
+
+def test_kmeans_sweep_gap_columns():
+    rng = np.random.RandomState(6)
+    X = np.concatenate([c + 0.3 * rng.standard_normal((30, 2))
+                        for c in [(0, 0), (8, 8)]])
+    results = kmeans_model_selection_sweep(
+        X, ks=[1, 2, 3], key=jax.random.PRNGKey(0), n_init=3, n_trials=5)
+    assert set(results) == {1, 2, 3}
+    assert results[2]['gap'] > results[1]['gap']
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    from convex_dim_red_tpu import KernelAA
+
+    rng = np.random.RandomState(7)
+    basis = rng.standard_normal((3, 6))
+    Z = rng.rand(50, 3)
+    Z /= Z.sum(axis=1, keepdims=True)
+    X = Z @ basis
+    K = X @ X.T
+
+    model = KernelAA(n_components=3, init='random', random_state=0,
+                     tolerance=1e-8, max_iterations=20)
+    model.fit(K)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {
+        'weights': model.weights, 'dictionary': model.dictionary,
+        'alpha': model.alpha, 'cost': model.cost, 'n_iter': model.n_iter})
+    state = load_checkpoint(path)
+    assert np.allclose(state['weights'], np.asarray(model.weights))
+    assert float(state['cost']) == pytest.approx(model.cost)
+
+    # Resume from the checkpoint: cost must not regress.
+    model2 = KernelAA(n_components=3, random_state=1, tolerance=1e-10,
+                      max_iterations=100)
+    resume_kernel_aa(model2, K, state)
+    assert model2.cost <= float(state['cost']) + 1e-10
+
+
+def test_timer_and_block_and_time():
+    with Timer() as t:
+        pass
+    assert t.total >= 0 and len(t.laps) == 1
+
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x * 2)
+    result, sec = block_and_time(f, jnp.ones(8), repeats=3)
+    assert sec >= 0 and np.allclose(np.asarray(result), 2.0)
