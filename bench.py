@@ -95,6 +95,8 @@ def measure_baseline():
 
 def main():
     import jax
+    from convex_dim_red_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from convex_dim_red_tpu.parallel.restarts import aa_fit_restarts
 
     if os.path.exists(BASELINE_FILE):
@@ -106,7 +108,8 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline, f, indent=2)
 
-    X = make_data(np.float32)
+    X = jax.device_put(make_data(np.float32))
+    jax.block_until_ready(X)
 
     def run():
         return aa_fit_restarts(

@@ -97,6 +97,11 @@ def add_common_args(parser, model):
 def apply_platform(args):
     if getattr(args, 'platform', None):
         jax.config.update('jax_platforms', args.platform)
+    if getattr(args, 'platform', None) != 'cpu':
+        # Persistent-cache CPU executables are machine-feature-specific
+        # (AOT loader warns of SIGILL on mismatch); cache TPU only.
+        from ..utils.cache import enable_compilation_cache
+        enable_compilation_cache()
 
 
 def validate_common_args(args):
@@ -283,8 +288,12 @@ def gpnh_analysis(training_data, validation_data, *, n_components, lambda_W,
                   weights_solver_kwargs=None,
                   stopping_criterion='abs_delta_f', verbose=False):
     """Best-of-``n_init`` GPNH fit + metrics (template of reference
-    bin/run_hadisst_gpnh.py).  Restarts loop on the host with a warm jit
-    cache (each fit after the first reuses the compiled program)."""
+    bin/run_hadisst_gpnh.py).  With the drivers' default random init the
+    restarts run as one vmapped on-device batch
+    (``parallel.restarts.gpnh_fit_restarts``); other inits fall back to
+    a host loop with a warm jit cache."""
+    from ..parallel.restarts import gpnh_fit_restarts
+
     key = _as_key(random_seed)
 
     def fit_once(data, key):
@@ -298,6 +307,27 @@ def gpnh_analysis(training_data, validation_data, *, n_components, lambda_W,
         return model
 
     def fit_best(data, key):
+        if init in (None, 'random'):
+            result = gpnh_fit_restarts(
+                data, n_components, key, n_init, lambda_W=lambda_W,
+                init='random', tolerance=tolerance,
+                max_iterations=max_iterations,
+                stopping_criterion=stopping_criterion,
+                weights_solver_kwargs=weights_solver_kwargs)
+            model = GPNHConvexCoding(
+                n_components=n_components, lambda_W=lambda_W,
+                init='random', tolerance=tolerance,
+                max_iterations=max_iterations, random_state=key,
+                stopping_criterion=stopping_criterion,
+                require_monotonic_cost_decrease=False,
+                weights_solver_kwargs=weights_solver_kwargs or {})
+            model.weights = result['weights']
+            model.dictionary = result['dictionary']
+            model.cost = result['cost']
+            model.n_iter = result['n_iter']
+            model.cost_deltas = result['cost_deltas']
+            model.avg_time_per_iter = 0.0
+            return model
         best = None
         for _ in range(n_init):
             key, sub = jax.random.split(key)
@@ -330,6 +360,8 @@ def gpnh_analysis(training_data, validation_data, *, n_components, lambda_W,
     start = time.perf_counter()
     best = fit_best(training_data, sub)
     elapsed = time.perf_counter() - start
+    if not best.avg_time_per_iter:
+        best.avg_time_per_iter = elapsed / max(best.n_iter, 1)
 
     recon = np.asarray(best.inverse_transform(best.weights))
     validation_cost = np.nan

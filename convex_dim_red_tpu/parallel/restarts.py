@@ -24,7 +24,7 @@ from ..ops.furthest_sum import furthest_sum_device, \
     dissimilarities_from_kernel
 from ..ops.stochastic_matrices import right_stochastic_matrix
 
-__all__ = ["aa_fit_restarts", "select_best"]
+__all__ = ["aa_fit_restarts", "gpnh_fit_restarts", "select_best"]
 
 
 def select_best(costs, state):
@@ -132,6 +132,83 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
         'cost': float(costs[best]),
         'n_iter': n_iter_best,
         'cost_deltas': cost_deltas,
+        'costs': costs,
+        'n_iters': np.asarray(n_iters),
+        'best_index': best,
+    }
+
+
+def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
+                      init='random', tolerance=1e-6, max_iterations=500,
+                      n_extra_steps=10,
+                      stopping_criterion='abs_delta_f',
+                      weights_solver_kwargs=None,
+                      mesh=None, restart_axis='restarts'):
+    """Best-of-``n_init`` GPNH convex coding, fully on device.
+
+    Vmapped analog of the reference drivers' serial keep-best loop for
+    GPNH (bin/run_hadisst_gpnh.py:149-171).  Returns a dict with the
+    best restart's ``weights``, ``dictionary``, ``cost``, ``n_iter``,
+    ``cost_deltas`` plus the full ``costs``/``n_iters`` arrays.
+    """
+    from ..models._common import make_config
+    from ..models.gpnh_convex_coding import _gpnh_core
+
+    X = jnp.asarray(data)
+    n_samples, n_features = X.shape
+    weights_cfg = make_config(QPSolverConfig, weights_solver_kwargs)
+
+    keys = jax.random.split(key, n_init)
+    if mesh is not None:
+        keys = jax.device_put(
+            keys, NamedSharding(mesh, P(restart_axis, None)))
+        X = jax.device_put(X, NamedSharding(mesh, P()))
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=('n_components', 'init', 'max_iterations',
+                         'criterion'))
+    def run(X, keys, lambda_W, tolerance, *, n_components, init,
+            max_iterations, criterion):
+        dtype = X.dtype
+
+        def fit_one(key):
+            k_dict, k_weights = jax.random.split(key)
+            if init == 'random':
+                avg = jnp.sqrt(jnp.mean(jnp.abs(X)) / n_components)
+                W = avg * jax.random.normal(
+                    k_dict, (n_features, n_components), dtype=dtype)
+            else:
+                raise ValueError(
+                    "gpnh_fit_restarts supports init='random' (the "
+                    "reference drivers' default); furthest_sum init is "
+                    "available through the GPNHConvexCoding estimator")
+            Z = right_stochastic_matrix(
+                k_weights, (n_samples, n_components), dtype=dtype)
+            Z, W, cost, n_iter, trace, _ = _gpnh_core(
+                X, Z, W, lambda_W, tolerance,
+                do_dict=True, do_weights=True, criterion=criterion,
+                max_iterations=max_iterations, require_monotonic=False,
+                weights_cfg=weights_cfg, verbose=False)
+            return Z, W, cost, n_iter, trace
+
+        return jax.vmap(fit_one)(keys)
+
+    Zs, Ws, costs, n_iters, traces = run(
+        X, keys, jnp.asarray(lambda_W, X.dtype),
+        jnp.asarray(tolerance, X.dtype),
+        n_components=int(n_components), init=init,
+        max_iterations=int(max_iterations),
+        criterion=stopping_criterion)
+
+    best = int(jnp.argmin(costs))
+    n_iter_best = int(n_iters[best])
+    return {
+        'weights': Zs[best],
+        'dictionary': Ws[best],
+        'cost': float(costs[best]),
+        'n_iter': n_iter_best,
+        'cost_deltas': np.asarray(traces[best])[:n_iter_best],
         'costs': costs,
         'n_iters': np.asarray(n_iters),
         'best_index': best,

@@ -278,7 +278,10 @@ def quad_spg(matvec, B, x0, project, alpha0=-1.0,
             jnp.asarray(0, jnp.int32), jnp.asarray(False))
     x, Hx, alpha, n_iter, stall_count, done = jax.lax.while_loop(
         cond, body, init)
-    return x
+    # The incremental updates x += lam*d preserve feasibility only up to
+    # accumulated rounding (~iters * eps); one final projection restores
+    # it to a single ulp.
+    return project(x)
 
 
 def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
@@ -323,7 +326,7 @@ def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
         max_iterations=min(max_iterations, max_feval))
 
 
-def quad_simplex_spg_batch(A, B, X0, **solver_kwargs):
+def quad_simplex_spg_batch(A, B, X0, backend="xla", **solver_kwargs):
     """Solve ``n`` simplex QPs sharing the Hessian ``A`` in lockstep.
 
     ``A``: (k, k) shared Hessian; ``B``: (n, k) per-row linear terms;
@@ -334,6 +337,16 @@ def quad_simplex_spg_batch(A, B, X0, **solver_kwargs):
     (archetypal_analysis.py:344-366, gpnh_convex_coding.py:229-251):
     under ``vmap`` every per-row matvec becomes one ``(n, k) @ (k, k)``
     matmul on the MXU and per-row convergence is masked automatically.
+
+    ``backend='pallas'`` routes to the fused VMEM-resident TPU kernel
+    (ops/pallas_qp.py): the whole solve runs in one ``pallas_call`` with
+    per-block early exit (TPU only; cannot be nested under ``vmap``).
     """
+    if backend == "pallas":
+        from ..ops.pallas_qp import quad_simplex_qp_pallas
+        keep = {k: v for k, v in solver_kwargs.items()
+                if k in ("max_iterations", "alpha0", "alpha_min",
+                         "alpha_max", "epsilon_one", "epsilon_two")}
+        return quad_simplex_qp_pallas(A, B, X0, **keep)
     solve = lambda b, x0: quad_simplex_spg(A, b, x0, **solver_kwargs)
     return jax.vmap(solve)(B, X0)

@@ -1,0 +1,69 @@
+"""Correctness tests for the fused Pallas QP kernel (interpret mode on
+the CPU test mesh; the real-TPU path is exercised by bench/verify
+runs)."""
+
+import numpy as np
+import jax
+import pytest
+
+from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas
+from convex_dim_red_tpu.ops.simplex_projection import simplex_project_rows
+from convex_dim_red_tpu.solvers.spg import quad_simplex_spg_batch
+
+
+def _problem(rng, n, k, scale=1.0):
+    M = rng.standard_normal((k, k))
+    A = M @ M.T + np.eye(k)
+    B = scale * rng.standard_normal((n, k))
+    X0 = np.full((n, k), 1.0 / k)
+    return A, B, X0
+
+
+def _obj(X, A, B):
+    return (0.5 * np.einsum('ij,jk,ik->i', X, A, X)
+            + np.sum(X * B, axis=1))
+
+
+@pytest.mark.parametrize("n,k", [(32, 3), (70, 6), (16, 11)])
+def test_pallas_matches_xla_objective(n, k):
+    rng = np.random.RandomState(0)
+    A, B, X0 = _problem(rng, n, k)
+
+    Xp = np.asarray(quad_simplex_qp_pallas(
+        A, B, X0, max_iterations=500, interpret=True))
+    Xx = np.asarray(quad_simplex_spg_batch(A, B, X0, max_iterations=500))
+
+    # Feasibility.
+    assert np.allclose(Xp.sum(axis=1), 1.0, atol=1e-6)
+    assert (Xp >= -1e-9).all()
+    # Same objective quality as the XLA solver.
+    gap = _obj(Xp, A, B) - _obj(Xx, A, B)
+    assert np.abs(gap).max() < 1e-6
+
+
+def test_pallas_kkt_residual():
+    rng = np.random.RandomState(1)
+    A, B, X0 = _problem(rng, 48, 5)
+    Xp = np.asarray(quad_simplex_qp_pallas(
+        A, B, X0, max_iterations=1000, interpret=True))
+    G = Xp @ A + B
+    res = np.asarray(simplex_project_rows(Xp - G)) - Xp
+    assert np.abs(res).max() < 1e-5
+
+
+def test_pallas_padding_does_not_leak():
+    # Padded lanes / rows must not affect real outputs: compare a batch
+    # against solving a subset.
+    rng = np.random.RandomState(2)
+    A, B, X0 = _problem(rng, 21, 4)  # odd n -> row padding exercised
+    X_full = np.asarray(quad_simplex_qp_pallas(
+        A, B, X0, max_iterations=300, interpret=True))
+    X_sub = np.asarray(quad_simplex_qp_pallas(
+        A, B[:8], X0[:8], max_iterations=300, interpret=True))
+    assert np.allclose(X_full[:8], X_sub, atol=1e-7)
+
+
+def test_pallas_rejects_oversized_k():
+    with pytest.raises(ValueError):
+        quad_simplex_qp_pallas(np.eye(130), np.zeros((4, 130)),
+                               np.full((4, 130), 1 / 130.), interpret=True)
