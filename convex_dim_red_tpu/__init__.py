@@ -25,7 +25,9 @@ from .ops.stochastic_matrices import (
     left_stochastic_matrix,
     right_stochastic_matrix,
 )
-from .solvers.spg import quad_simplex_spg, quad_simplex_spg_batch, spg
+from .parallel.restarts import aa_fit_restarts, gpnh_fit_restarts
+from .solvers.spg import (quad_simplex_spg, quad_simplex_spg_batch,
+                          quad_spg, spg)
 
 __version__ = "0.1.0"
 
@@ -46,6 +48,9 @@ __all__ = [
     "left_stochastic_matrix",
     "right_stochastic_matrix",
     "spg",
+    "quad_spg",
     "quad_simplex_spg",
     "quad_simplex_spg_batch",
+    "aa_fit_restarts",
+    "gpnh_fit_restarts",
 ]

@@ -40,7 +40,8 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
                     dictionary_solver_kwargs=None,
                     weights_solver_kwargs=None,
                     scale_factors_solver_kwargs=None,
-                    mesh=None, restart_axis='restarts'):
+                    mesh=None, restart_axis='restarts',
+                    restart_chunk=None):
     """Best-of-``n_init`` archetypal analysis, fully on device.
 
     ``data``: (n_samples, n_features) matrix.  Returns a dict with the
@@ -49,6 +50,12 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     restarts.  With ``mesh`` given, the restart batch is sharded over
     ``restart_axis`` (the key batch is placed with a ``NamedSharding``
     and XLA partitions the vmapped fit).
+
+    ``restart_chunk`` bounds how many restarts run in one device
+    execution: very long single executions (large k x many restarts x
+    many iterations) can exceed the TPU worker's execution watchdog and
+    kill the worker process; chunks keep each call bounded with
+    identical keep-best semantics.
     """
     from ..models._common import make_config
 
@@ -109,13 +116,25 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
 
         return jax.vmap(fit_one)(keys)
 
-    Zs, Cs, alphas, costs, n_iters, traces = run(
-        K, X, keys, jnp.asarray(delta, X.dtype),
-        jnp.asarray(tolerance, X.dtype),
-        n_components=int(n_components), init=init,
-        max_iterations=int(max_iterations),
-        n_extra_steps=int(n_extra_steps),
-        criterion=stopping_criterion, do_scale=do_scale)
+    if restart_chunk is None or restart_chunk >= n_init:
+        chunks = [keys]
+    else:
+        chunks = [keys[i:i + restart_chunk]
+                  for i in range(0, n_init, restart_chunk)]
+
+    outs = []
+    for chunk in chunks:
+        outs.append(run(
+            K, X, chunk, jnp.asarray(delta, X.dtype),
+            jnp.asarray(tolerance, X.dtype),
+            n_components=int(n_components), init=init,
+            max_iterations=int(max_iterations),
+            n_extra_steps=int(n_extra_steps),
+            criterion=stopping_criterion, do_scale=do_scale))
+    Zs, Cs, alphas, costs, n_iters, traces = (
+        outs[0] if len(outs) == 1 else
+        tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+              for i in range(6)))
 
     best = int(jnp.argmin(costs))
     Z, C, alpha = Zs[best], Cs[best], alphas[best]

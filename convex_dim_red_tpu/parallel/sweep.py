@@ -22,7 +22,8 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
                              init='furthest_sum', tolerance=1e-5,
                              stopping_criterion='rel_delta_f',
                              max_iterations=500, mesh=None,
-                             validation_data=None, **solver_kwargs):
+                             validation_data=None, restart_chunk=10,
+                             **solver_kwargs):
     """Fit AA for every k in ``ks`` with ``n_init`` sharded restarts.
 
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', ...}}`` suitable
@@ -35,7 +36,8 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
         fit = aa_fit_restarts(
             data, int(k), sub, n_init, delta=delta, init=init,
             tolerance=tolerance, stopping_criterion=stopping_criterion,
-            max_iterations=max_iterations, mesh=mesh, **solver_kwargs)
+            max_iterations=max_iterations, mesh=mesh,
+            restart_chunk=restart_chunk, **solver_kwargs)
         elapsed = time.perf_counter() - start
 
         recon = np.asarray(fit['weights'] @ fit['archetypes'])

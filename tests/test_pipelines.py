@@ -246,3 +246,66 @@ def test_hadisst_gpnh_driver_end_to_end(synthetic_anomalies, tmp_path):
     assert 'weights' in ds and 'dictionary' in ds
     assert np.allclose(ds['weights'].data.sum(axis=1), 1.0, atol=1e-6)
     assert 'lambda_W' in ds.attrs
+
+
+# ---------------------------------------------------------------------------
+# JRA-55 drivers on synthetic data
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synthetic_jra55(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("jra55")
+    grid = str(tmp / "hgt.nc")
+    pcs = str(tmp / "pcs.nc")
+    env = dict(os.environ)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin",
+                                      "make_synthetic_jra55.py"),
+         grid, "--kind", "grid", "--n-years", "15"],
+        check=True, env=env, cwd=REPO)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin",
+                                      "make_synthetic_jra55.py"),
+         pcs, "--kind", "pcs", "--n-years", "15"],
+        check=True, env=env, cwd=REPO)
+    return grid, pcs
+
+
+def test_jra55_kmeans_driver_end_to_end(synthetic_jra55, tmp_path):
+    grid, _ = synthetic_jra55
+    ds = _run_driver("jra55_kmeans", grid, tmp_path,
+                     ["--n-components", "2", "--n-init", "3",
+                      "--n-trials", "4", "--random-seed", "0"])
+    assert 'weights' in ds and 'centroids' in ds
+    # Latitude band [20, 90] retained only.
+    assert 'gap_statistic' in ds.attrs
+
+
+def test_jra55_pca_aa_driver_end_to_end(synthetic_jra55, tmp_path):
+    _, pcs = synthetic_jra55
+    ds = _run_driver("jra55_pca_aa", pcs, tmp_path,
+                     ["--n-components", "3", "--n-init", "3",
+                      "--tolerance", "1e-5", "--max-iterations", "100",
+                      "--random-seed", "0", "--standardize"])
+    W = ds['weights'].data
+    assert np.allclose(W.sum(axis=1), 1.0, atol=1e-6)
+    assert ds['archetypes'].data.shape[0] == 3
+
+
+def test_jra55_pca_gpnh_driver_end_to_end(synthetic_jra55, tmp_path):
+    _, pcs = synthetic_jra55
+    ds = _run_driver("jra55_pca_gpnh", pcs, tmp_path,
+                     ["--n-components", "2", "--n-init", "2",
+                      "--lambda-W", "1e-4", "--tolerance", "1e-5",
+                      "--max-iterations", "60", "--random-seed", "0"])
+    assert np.allclose(ds['weights'].data.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_jra55_pca_kmeans_driver_end_to_end(synthetic_jra55, tmp_path):
+    _, pcs = synthetic_jra55
+    ds = _run_driver("jra55_pca_kmeans", pcs, tmp_path,
+                     ["--n-components", "2", "--n-init", "2",
+                      "--n-trials", "4", "--reference", "pca",
+                      "--random-seed", "0"])
+    assert 'gap_statistic' in ds.attrs
