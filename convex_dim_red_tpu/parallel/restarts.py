@@ -60,7 +60,6 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     from ..models._common import make_config
 
     X = jnp.asarray(data)
-    K = X @ X.T
 
     dict_cfg = make_config(SPGSolverConfig, dictionary_solver_kwargs)
     weights_cfg = make_config(QPSolverConfig, weights_solver_kwargs)
@@ -70,7 +69,6 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     if mesh is not None:
         keys = jax.device_put(
             keys, NamedSharding(mesh, P(restart_axis, None)))
-        K = jax.device_put(K, NamedSharding(mesh, P()))
         X = jax.device_put(X, NamedSharding(mesh, P()))
 
     do_scale = float(delta) != 0.0
@@ -79,8 +77,12 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
         jax.jit,
         static_argnames=('n_components', 'init', 'max_iterations',
                          'n_extra_steps', 'criterion', 'do_scale'))
-    def run(K, X, keys, delta, tolerance, *, n_components, init,
+    def run(X, keys, delta, tolerance, *, n_components, init,
             max_iterations, n_extra_steps, criterion, do_scale):
+        # Gram, dissimilarities, every restart, and the keep-best
+        # reduction run inside one XLA program — only the winning state
+        # (plus the small per-restart costs) leaves the device.
+        K = X @ X.T
         n_samples = K.shape[0]
         dtype = K.dtype
         diss = (dissimilarities_from_kernel(K)
@@ -114,7 +116,10 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
                 scale_cfg=scale_cfg, verbose=False)
             return Z, C, alpha, cost, n_iter, trace
 
-        return jax.vmap(fit_one)(keys)
+        Zs, Cs, alphas, costs, n_iters, traces = jax.vmap(fit_one)(keys)
+        best = jnp.argmin(costs)
+        return (Zs[best], Cs[best], alphas[best], traces[best],
+                costs, n_iters, best)
 
     if restart_chunk is None or restart_chunk >= n_init:
         chunks = [keys]
@@ -122,24 +127,34 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
         chunks = [keys[i:i + restart_chunk]
                   for i in range(0, n_init, restart_chunk)]
 
-    outs = []
-    for chunk in chunks:
-        outs.append(run(
-            K, X, chunk, jnp.asarray(delta, X.dtype),
+    best_state = None
+    best_cost = np.inf
+    all_costs = []
+    all_n_iters = []
+    best_offset = 0
+    for offset, chunk in enumerate(chunks):
+        Z, C, alpha, trace, costs, n_iters, best_idx = run(
+            X, chunk, jnp.asarray(delta, X.dtype),
             jnp.asarray(tolerance, X.dtype),
             n_components=int(n_components), init=init,
             max_iterations=int(max_iterations),
             n_extra_steps=int(n_extra_steps),
-            criterion=stopping_criterion, do_scale=do_scale))
-    Zs, Cs, alphas, costs, n_iters, traces = (
-        outs[0] if len(outs) == 1 else
-        tuple(jnp.concatenate([o[i] for o in outs], axis=0)
-              for i in range(6)))
+            criterion=stopping_criterion, do_scale=do_scale)
+        costs = np.asarray(costs)
+        all_costs.append(costs)
+        all_n_iters.append(np.asarray(n_iters))
+        chunk_best = float(costs.min())
+        if chunk_best < best_cost:
+            best_cost = chunk_best
+            best_state = (Z, C, alpha, trace)
+            best_offset = sum(c.shape[0] for c in all_costs[:-1]) \
+                + int(best_idx)
 
-    best = int(jnp.argmin(costs))
-    Z, C, alpha = Zs[best], Cs[best], alphas[best]
-    n_iter_best = int(n_iters[best])
-    cost_deltas = np.asarray(traces[best])[:n_iter_best]
+    Z, C, alpha, trace = best_state
+    costs = np.concatenate(all_costs)
+    n_iters = np.concatenate(all_n_iters)
+    n_iter_best = int(n_iters[best_offset])
+    cost_deltas = np.asarray(trace)[:n_iter_best]
     dictionary = alpha[:, None] * C if do_scale else C
     archetypes = dictionary @ X
 
@@ -148,12 +163,12 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
         'dictionary': dictionary,
         'alpha': alpha,
         'archetypes': archetypes,
-        'cost': float(costs[best]),
+        'cost': best_cost,
         'n_iter': n_iter_best,
         'cost_deltas': cost_deltas,
         'costs': costs,
-        'n_iters': np.asarray(n_iters),
-        'best_index': best,
+        'n_iters': n_iters,
+        'best_index': best_offset,
     }
 
 
