@@ -28,6 +28,7 @@ Prints one JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
 """
 
+import functools
 import json
 import os
 import sys
@@ -111,18 +112,28 @@ def main():
     X = jax.device_put(make_data(np.float32))
     jax.block_until_ready(X)
 
-    def run():
+    def run(backend):
         return aa_fit_restarts(
             X, K, jax.random.PRNGKey(0), n_init=N_INIT,
             init='random', tolerance=TOL, max_iterations=MAX_ITER,
             stopping_criterion=CRITERION,
             dictionary_solver_kwargs={'max_iterations': 10},
-            weights_solver_kwargs={'max_iterations': 1000})
+            weights_solver_kwargs={'max_iterations': 1000,
+                                   'backend': backend})
 
-    # Warm-up: compile.
+    # Warm-up: compile.  The fused Pallas weights kernel and the XLA
+    # path measure equal on an idle chip; prefer Pallas (exercises the
+    # kernel in production) with a fallback if a toolchain update
+    # breaks Mosaic lowering.
+    backend = 'pallas'
     t0 = time.perf_counter()
-    result = run()
+    try:
+        result = run(backend)
+    except Exception:
+        backend = 'xla'
+        result = run(backend)
     compile_and_run = time.perf_counter() - t0
+    run = functools.partial(run, backend)
 
     # Steady-state measurement.
     t0 = time.perf_counter()
@@ -147,6 +158,7 @@ def main():
             "baseline_seconds_reconstructed": round(baseline_seconds, 2),
             "baseline_per_iter_s": round(baseline["per_iter_seconds"], 3),
             "device": str(jax.devices()[0]),
+            "weights_backend": backend,
             "workload": baseline.get("workload"),
         },
     }

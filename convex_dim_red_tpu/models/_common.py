@@ -19,7 +19,12 @@ __all__ = [
 
 @dataclass(frozen=True)
 class QPSolverConfig:
-    """Parameters of the simplex-QP SPG solver (reference spg.py:286-291)."""
+    """Parameters of the simplex-QP SPG solver (reference spg.py:286-291).
+
+    ``backend='pallas'`` routes batched solves to the fused TPU kernel
+    (ops/pallas_qp.py); 'xla' is the portable default.
+    """
+    backend: str = 'xla'
     gamma: float = 1e-4
     memory: int = 1
     sigma_one: float = 0.1
@@ -34,7 +39,8 @@ class QPSolverConfig:
     max_feval: int = 2000
 
     def kwargs(self):
-        return {f.name: getattr(self, f.name) for f in fields(self)}
+        return {f.name: getattr(self, f.name) for f in fields(self)
+                if f.name != 'backend'}
 
 
 @dataclass(frozen=True)

@@ -173,7 +173,8 @@ def update_kernel_aa_weights(weights, alpha, CK, CKCt, **solver_kwargs):
 
     A = (alpha[:, None] * CKCt) * alpha[None, :]
     B = -(alpha[:, None] * CK).T
-    return quad_simplex_spg_batch(A, B, Z, **cfg.kwargs())
+    return quad_simplex_spg_batch(A, B, Z, backend=cfg.backend,
+                                  **cfg.kwargs())
 
 
 def update_kernel_aa_scale_factors(alpha, trace_K, CKZ, ZtZ, CKCt, delta,
@@ -303,8 +304,11 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X, *,
         cost_trace = cost_trace.at[n_iter].set(new_cost - old_cost)
 
         if verbose:
+            # Reference-style iteration table row
+            # (archetypal_analysis.py:520-522); per-iteration wall time
+            # is not observable inside the compiled loop.
             jax.debug.print(
-                "iter {i}: cost {c:.6e} delta {d: .6e}",
+                "{i} | {c} | {d}",
                 i=n_iter + 1, c=new_cost, d=new_cost - old_cost)
 
         stop = has_converged(old_cost, new_cost, tolerance, criterion)
@@ -359,6 +363,12 @@ def iterate_kernel_aa(K, weights, dictionary, alpha, delta=0,
     Z = jnp.asarray(weights)
     C = jnp.asarray(dictionary)
     alpha = jnp.asarray(alpha, dtype=K.dtype)
+
+    if verbose:
+        print("*** Kernel AA: n_components = {:d} ***".format(Z.shape[1]))
+        print('{:<12s} | {:<13s} | {:<13s}'.format(
+            'Iteration', 'Cost', 'Cost delta'))
+        print(80 * '-')
 
     do_scale = bool(update_scale_factors) and float(delta) != 0.0
     has_data = data is not None

@@ -130,7 +130,7 @@ def update_gpnh_weights(X, weights, dictionary, **solver_kwargs):
     WtW = W.T @ W
     XW = X @ W
     return quad_simplex_spg_batch(WtW, -XW, jnp.asarray(weights),
-                                  **cfg.kwargs())
+                                  backend=cfg.backend, **cfg.kwargs())
 
 
 @functools.partial(
@@ -198,7 +198,7 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
         trace = trace.at[n_iter].set(new_cost - old_cost)
 
         if verbose:
-            jax.debug.print("iter {i}: cost {c:.6e} delta {d: .6e}",
+            jax.debug.print("{i} | {c} | {d}",
                             i=n_iter + 1, c=new_cost, d=new_cost - old_cost)
 
         stop = has_converged(old_cost, new_cost, tolerance, criterion)
@@ -242,6 +242,13 @@ def iterate_gpnh_convex_coding(X, weights, dictionary, lambda_W=0,
     X = jnp.asarray(X)
     Z = jnp.asarray(weights)
     W = jnp.asarray(dictionary)
+
+    if verbose:
+        print("*** GPNH convex coding: n_components = {:d} ***".format(
+            Z.shape[1]))
+        print('{:<12s} | {:<13s} | {:<13s}'.format(
+            'Iteration', 'Cost', 'Cost delta'))
+        print(100 * '-')
 
     start = time.perf_counter()
     Z, W, cost, n_iter, cost_trace, inc_flags = _gpnh_core(

@@ -131,3 +131,32 @@ def test_sharded_step_invariant_to_mesh_shape():
         assert np.allclose(Zn, outs[0][0], atol=1e-8)
         assert np.allclose(Cn, outs[0][1], atol=1e-8)
         assert np.allclose(costs, outs[0][2], atol=1e-10)
+
+
+def test_kernel_aa_fit_restarts_matches_data_space():
+    from convex_dim_red_tpu.parallel.restarts import kernel_aa_fit_restarts
+    rng = np.random.RandomState(9)
+    X, idx = _planted(rng)
+    K = X @ X.T
+    result = kernel_aa_fit_restarts(K, 3, jax.random.PRNGKey(0), n_init=6,
+                                    tolerance=1e-10, max_iterations=300)
+    assert result['weights'].shape == (64, 3)
+    assert np.allclose(np.asarray(result['weights']).sum(1), 1, atol=1e-10)
+    assert result['cost'] < 1e-6
+    # Hull recovery: dictionary rows peak at the planted vertices.
+    got = sorted(np.asarray(result['dictionary']).argmax(1).tolist())
+    assert got == sorted(idx.tolist())
+
+
+def test_aa_fit_restarts_chunking_matches_single_call():
+    rng = np.random.RandomState(10)
+    X, _ = _planted(rng)
+    a = aa_fit_restarts(X, 3, jax.random.PRNGKey(3), n_init=8,
+                        tolerance=1e-10, max_iterations=200)
+    b = aa_fit_restarts(X, 3, jax.random.PRNGKey(3), n_init=8,
+                        tolerance=1e-10, max_iterations=200,
+                        restart_chunk=3)
+    assert np.allclose(np.asarray(a['costs']), np.asarray(b['costs']),
+                       rtol=1e-10)
+    assert a['best_index'] == b['best_index']
+    assert a['cost'] == pytest.approx(b['cost'])
