@@ -11,7 +11,6 @@ the TPU core: the keep-best restarts run as one vmapped on-device batch
 serial Python loop.
 """
 
-import argparse
 import time
 
 import numpy as np
@@ -25,10 +24,8 @@ from ..models.kmeans import KMeans, gap_statistic
 from ..parallel.restarts import aa_fit_restarts
 from ..pipelines.dataset import Dataset, Variable, decode_cf_time, \
     open_dataset
-from ..pipelines.preprocess import (latitude_weights, missing_feature_mask,
-                                    restore_missing_features,
-                                    train_validation_split,
-                                    weight_and_flatten)
+from ..pipelines.preprocess import (latitude_weights,
+                                    restore_missing_features)
 from ..solvers.spg import quad_simplex_spg_batch
 
 __all__ = [

@@ -12,7 +12,6 @@ import sys
 
 import numpy as np
 
-from . import common
 from .common import (add_common_args, apply_platform,
                      validate_common_args, load_field,
                      aa_analysis, gpnh_analysis, kmeans_analysis,
@@ -21,7 +20,6 @@ from .specs import HADISST, JRA55_HGT, JRA55_PCS
 from ..pipelines.preprocess import (missing_feature_mask,
                                     train_validation_split,
                                     weight_and_flatten)
-from ..pipelines.dataset import Variable
 
 
 def _prepare(args, spec, gridded=True, standardize=False):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["quad_simplex_qp_pallas"]
+__all__ = ["quad_simplex_qp_pallas", "quad_simplex_qp_pallas_packed"]
 
 LANES = 128
 
@@ -87,7 +87,8 @@ def _qp_kernel(A_ref, B_ref, X0_ref, out_ref,
                                 (block, LANES))
 
     X = _masked_project(X0_ref[:], mask, dtype)
-    AX = jnp.dot(X, A, preferred_element_type=dtype)
+    AX = jnp.dot(X, A, preferred_element_type=dtype,
+                 precision=jax.lax.Precision.HIGHEST)
 
     if alpha_min <= alpha0 <= alpha_max:
         alpha = jnp.full((block, LANES), alpha0, dtype)
@@ -121,7 +122,8 @@ def _qp_kernel(A_ref, B_ref, X0_ref, out_ref,
         G = AX + B
         alpha_used = alpha
         D = _masked_project(X - alpha * G, mask, dtype) - X
-        AD = jnp.dot(D, A, preferred_element_type=dtype)
+        AD = jnp.dot(D, A, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
 
         delta = rowsum(D * G)
         q = rowsum(D * AD)
@@ -227,3 +229,217 @@ def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
     )(A_p, B_p, X0_p)
 
     return out[:n, :k]
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed variant: multiple problems per 128-lane row
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, out_ref,
+                   X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
+                   k, k_pad, max_iterations, alpha0, alpha_min, alpha_max,
+                   epsilon_one, epsilon_two, bisect_steps):
+    """QP solve with P = LANES // k_pad problems packed per lane row.
+
+    ``A_ref`` holds the block-diagonal (LANES, LANES) Hessian (P copies
+    of the padded k x k block), so one MXU matmul performs P matvecs;
+    ``S_ref`` is the 0/1 segment mask whose matmul computes
+    sum-and-broadcast over each k_pad-lane segment.  Segment max uses a
+    masked roll butterfly.  Per-problem scalars live broadcast across
+    their segment's lanes.
+    """
+    dtype = X0_ref.dtype
+    block = X0_ref.shape[0]
+
+    A = A_ref[:]
+    B = B_ref[:]
+    S = S_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    pos = lane % k_pad
+    mask = pos < k
+    neg = jnp.asarray(-1e30, dtype)
+
+    def segsum(v):
+        # HIGHEST precision: the default TPU f32 matmul truncates inputs
+        # to bfloat16, which is catastrophic for the segment sums.
+        return jnp.dot(v, S, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def segmax(v):
+        v = jnp.where(mask, v, neg)
+        s = 1
+        while s < k_pad:
+            # pltpu.roll requires non-negative shifts; LANES - s rolls
+            # backwards.
+            fwd = jnp.where(pos >= s, pltpu.roll(v, s, 1), neg)
+            bwd = jnp.where(pos < k_pad - s, pltpu.roll(v, LANES - s, 1),
+                            neg)
+            v = jnp.maximum(v, jnp.maximum(fwd, bwd))
+            s *= 2
+        return v
+
+    def project(x):
+        # Simplex projection per segment; bisection on the threshold.
+        hi = segmax(x)
+        lo = hi - 1.0
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            s = segsum(jnp.where(mask, jnp.maximum(x - mid, 0.0), 0.0))
+            too_big = s > 1.0
+            return (jnp.where(too_big, mid, lo),
+                    jnp.where(too_big, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, bisect_steps, body, (lo, hi))
+        tau = 0.5 * (lo + hi)
+        return jnp.where(mask, jnp.maximum(x - tau, 0.0), 0.0)
+
+    X = project(X0_ref[:])
+    AX = jnp.dot(X, A, preferred_element_type=dtype,
+                 precision=jax.lax.Precision.HIGHEST)
+
+    if alpha_min <= alpha0 <= alpha_max:
+        alpha = jnp.full((block, LANES), alpha0, dtype)
+    else:
+        d0 = project(X - (AX + B)) - X
+        ainv = segmax(jnp.abs(d0))
+        ainv = jnp.where(jnp.abs(ainv) < 1e-12, 1.0, ainv)
+        alpha = jnp.clip(1.0 / ainv, alpha_min, alpha_max)
+
+    X_ref[:] = X
+    AX_ref[:] = AX
+    alpha_ref[:] = alpha
+    active_ref[:] = jnp.ones((block, LANES), dtype)
+    stall_ref[:] = jnp.zeros((block, LANES), dtype)
+
+    progress_eps = 32.0 * float(jnp.finfo(dtype).eps)
+
+    def cond(carry):
+        it, any_active = carry
+        return jnp.logical_and(it < max_iterations, any_active)
+
+    def body(carry):
+        it, _ = carry
+        X = X_ref[:]
+        AX = AX_ref[:]
+        alpha = alpha_ref[:]
+        active = active_ref[:] > 0.5
+        stall = stall_ref[:]
+
+        G = AX + B
+        alpha_used = alpha
+        D = project(X - alpha * G) - X
+        AD = jnp.dot(D, A, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+
+        delta = segsum(D * G)
+        q = segsum(D * AD)
+        safe_q = jnp.where(q > 0, q, 1.0)
+        lam = jnp.where(q > 0, jnp.clip(-delta / safe_q, 0.0, 1.0), 1.0)
+        lam = jnp.where(active, lam, 0.0)
+
+        X = X + lam * D
+        AX = AX + lam * AD
+
+        sksk = segsum(D * D)
+        alpha_new = jnp.where(q > 0,
+                              jnp.clip(sksk / safe_q, alpha_min, alpha_max),
+                              jnp.full_like(q, alpha_max))
+        alpha = jnp.where(active, alpha_new, alpha)
+
+        decrease = -(lam * delta + 0.5 * lam * lam * q)
+        fval = jnp.abs(0.5 * segsum(X * AX) + segsum(X * B))
+        no_progress = decrease <= progress_eps * (
+            fval + jnp.finfo(dtype).tiny)
+        stall = jnp.where(no_progress, stall + 1.0, 0.0)
+
+        scale = jnp.minimum(alpha_used, 1.0)
+        d2 = segsum(D * D)
+        dinf = segmax(jnp.abs(D))
+        converged = ((d2 < (epsilon_two * scale) * (epsilon_two * scale))
+                     | (dinf < epsilon_one * scale) | (stall >= 3.0))
+        active = active & ~converged
+
+        X_ref[:] = X
+        AX_ref[:] = AX
+        alpha_ref[:] = alpha
+        active_ref[:] = jnp.where(active, 1.0, 0.0).astype(dtype)
+        stall_ref[:] = stall
+
+        return it + 1, jnp.max(active_ref[:]) > 0.5
+
+    jax.lax.while_loop(cond, body,
+                       (jnp.asarray(0, jnp.int32), jnp.asarray(True)))
+    out_ref[:] = project(X_ref[:])
+
+
+def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
+                                  alpha0=-1.0, alpha_min=1e-5,
+                                  alpha_max=1e3, epsilon_one=1e-10,
+                                  epsilon_two=1e-6, block_rows=256,
+                                  interpret=False):
+    """Lane-packed fused QP solve: P = 128 // next_pow2(k) problems per
+    lane row (full VPU/MXU utilization for small ``k``, vs 1 problem per
+    row in :func:`quad_simplex_qp_pallas`).  Requires ``k <= 64``."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    X0 = jnp.asarray(X0)
+    n, k = B.shape
+    k_pad = 8
+    while k_pad < k:
+        k_pad *= 2
+    if k_pad > 64:
+        raise ValueError(f"packed kernel supports k <= 64, got {k}")
+    P = LANES // k_pad
+    dtype = X0.dtype
+
+    rows = -(-n // P)
+    rows_pad = -(-rows // block_rows) * block_rows
+    n_pad = rows_pad * P
+
+    def pack(M):
+        Mp = jnp.zeros((n_pad, k_pad), dtype).at[:n, :k].set(M)
+        return Mp.reshape(rows_pad, LANES)
+
+    A_pad = jnp.zeros((k_pad, k_pad), dtype).at[:k, :k].set(A)
+    A_blk = jnp.kron(jnp.eye(P, dtype=dtype), A_pad)
+
+    seg = jnp.arange(LANES) // k_pad
+    S = (seg[:, None] == seg[None, :]).astype(dtype)
+
+    kernel = functools.partial(
+        _packed_kernel, k=k, k_pad=k_pad,
+        max_iterations=int(max_iterations), alpha0=float(alpha0),
+        alpha_min=float(alpha_min), alpha_max=float(alpha_max),
+        epsilon_one=float(epsilon_one), epsilon_two=float(epsilon_two),
+        bisect_steps=26 if dtype == jnp.float32 else 52)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows_pad // block_rows,),
+        in_specs=[
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+        ],
+        interpret=interpret,
+    )(A_blk, pack(B), pack(X0), S)
+
+    return out.reshape(n_pad, k_pad)[:n, :k]

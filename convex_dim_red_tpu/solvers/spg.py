@@ -13,23 +13,26 @@ jittable solvers:
   convergence) become ``lax.while_loop``s so the whole solve stays on
   device inside one XLA computation.
 
-- :func:`quad_simplex_spg` — the specialized simplex-constrained
-  quadratic program ``min 1/2 x'Ax + b'x  s.t. x in simplex`` (reference
-  spg.py:286-398), caching ``Ax`` so each line-search trial costs one
-  matvec.  :func:`quad_simplex_spg_batch` vmaps it over rows with a
+- :func:`quad_spg` — operator-form projected spectral gradient for
+  exact QPs with closed-form line minimization (see its docstring); it
+  powers :func:`quad_simplex_spg` (the reference's simplex QP,
+  spg.py:286-398) and all AA subproblem updates.
+  :func:`quad_simplex_spg_batch` vmaps the simplex QP over rows with a
   shared Hessian: under ``vmap`` the per-row ``A @ x`` matvecs fuse into
   ``X @ A`` matmuls that run on the MXU, and per-row convergence is
-  handled by vmap's lockstep masking of the while loops — the batch
-  finishes when its slowest row does, with converged rows riding along at
-  their fixed points (the vectorization the reference gets from
+  handled by vmap's lockstep masking of the while loops (the
+  vectorization the reference gets from
   ``guvectorize(..., target='parallel')`` threads, reference
-  archetypal_analysis.py:344-366).
+  archetypal_analysis.py:344-366); ``backend='pallas'`` instead runs the
+  whole solve in one fused VMEM-resident TPU kernel (ops/pallas_qp.py).
 
 Differences from the reference (documented, not behavioral bugs):
 ``n_iter`` counts iterations executed (reference returns the last
-zero-based loop index), and the final redundant ``f(x)`` re-evaluation is
-reused rather than recomputed (identical value; the feval counter still
-mirrors the reference's bookkeeping so ``max_feval`` caps align).
+zero-based loop index); the generic ``spg``'s final redundant ``f(x)``
+re-evaluation is reused rather than recomputed (identical value; the
+feval counter still mirrors the reference's bookkeeping so ``max_feval``
+caps align); the QP solvers use the closed-form exact line minimizer in
+place of Armijo backtracking (see :func:`quad_simplex_spg`).
 """
 
 import jax
@@ -343,10 +346,14 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", **solver_kwargs):
     per-block early exit (TPU only; cannot be nested under ``vmap``).
     """
     if backend == "pallas":
-        from ..ops.pallas_qp import quad_simplex_qp_pallas
+        from ..ops.pallas_qp import (quad_simplex_qp_pallas,
+                                     quad_simplex_qp_pallas_packed)
         keep = {k: v for k, v in solver_kwargs.items()
                 if k in ("max_iterations", "alpha0", "alpha_min",
                          "alpha_max", "epsilon_one", "epsilon_two")}
+        # Lane-packed variant for small k (full VPU/MXU utilization).
+        if jnp.shape(B)[1] <= 64:
+            return quad_simplex_qp_pallas_packed(A, B, X0, **keep)
         return quad_simplex_qp_pallas(A, B, X0, **keep)
     solve = lambda b, x0: quad_simplex_spg(A, b, x0, **solver_kwargs)
     return jax.vmap(solve)(B, X0)

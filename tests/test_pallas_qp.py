@@ -67,3 +67,30 @@ def test_pallas_rejects_oversized_k():
     with pytest.raises(ValueError):
         quad_simplex_qp_pallas(np.eye(130), np.zeros((4, 130)),
                                np.full((4, 130), 1 / 130.), interpret=True)
+
+
+@pytest.mark.parametrize("n,k", [(33, 3), (70, 6), (20, 11), (16, 33)])
+def test_packed_matches_xla_objective(n, k):
+    from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas_packed
+    rng = np.random.RandomState(3)
+    A, B, X0 = _problem(rng, n, k)
+
+    Xp = np.asarray(quad_simplex_qp_pallas_packed(
+        A, B, X0, max_iterations=500, interpret=True))
+    Xx = np.asarray(quad_simplex_spg_batch(A, B, X0, max_iterations=500))
+
+    assert np.allclose(Xp.sum(axis=1), 1.0, atol=1e-6)
+    assert (Xp >= -1e-9).all()
+    gap = _obj(Xp, A, B) - _obj(Xx, A, B)
+    assert np.abs(gap).max() < 1e-6
+
+
+def test_packed_padding_does_not_leak():
+    from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas_packed
+    rng = np.random.RandomState(4)
+    A, B, X0 = _problem(rng, 37, 5)  # 37 % 16 != 0: slot padding hit
+    X_full = np.asarray(quad_simplex_qp_pallas_packed(
+        A, B, X0, max_iterations=300, interpret=True))
+    X_sub = np.asarray(quad_simplex_qp_pallas_packed(
+        A, B[:9], X0[:9], max_iterations=300, interpret=True))
+    assert np.allclose(X_full[:9], X_sub, atol=1e-7)
