@@ -143,3 +143,28 @@ def test_timer_and_block_and_time():
     f = jax.jit(lambda x: x * 2)
     result, sec = block_and_time(f, jnp.ones(8), repeats=3)
     assert sec >= 0 and np.allclose(np.asarray(result), 2.0)
+
+
+def test_plotting_helpers_produce_figures(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from convex_dim_red_tpu.pipelines.plotting import (
+        plot_model_selection, plot_patterns, plot_state_embedding)
+
+    rng = np.random.RandomState(0)
+    patterns = rng.standard_normal((3, 8, 12))
+    patterns[:, 2:4, 5] = np.nan
+    fig = plot_patterns(patterns, np.linspace(-40, 40, 8),
+                        np.linspace(0, 330, 12))
+    fig.savefig(str(tmp_path / "patterns.png"))
+
+    W = rng.rand(40, 3)
+    W /= W.sum(axis=1, keepdims=True)
+    fig = plot_state_embedding(W, method="mds")
+    fig.savefig(str(tmp_path / "embedding.png"))
+
+    results = {2: {"cost": 2.0, "gap": 0.3, "gap_sk": 0.01},
+               3: {"cost": 1.0, "gap": 0.5, "gap_sk": 0.02}}
+    fig = plot_model_selection(results)
+    fig.savefig(str(tmp_path / "selection.png"))
+    assert (tmp_path / "patterns.png").exists()
