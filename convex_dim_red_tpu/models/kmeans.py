@@ -157,6 +157,9 @@ class KMeans:
         return self.fit(X).labels_
 
     def predict(self, X):
+        if self.cluster_centers_ is None:
+            raise RuntimeError("KMeans instance is not fitted yet; "
+                               "call fit() first")
         d2 = _sq_dists(jnp.asarray(X), self.cluster_centers_)
         return np.asarray(jnp.argmin(d2, axis=1))
 

@@ -85,7 +85,7 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
         alpha0=None, alpha_min=1e-5, alpha_max=1e3,
         epsilon_one=1e-10, epsilon_two=1e-6,
-        use_infinity_norm=True,
+        use_infinity_norm=True, verbose=0,
         max_iterations=10000, max_feval=1000000):
     """Minimize ``f`` by projected gradient descent with nonmonotone line search.
 
@@ -178,6 +178,12 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
 
         res = _residual(x_new, gk_new)
         res2, resinf = _norms(res)
+
+        if verbose:
+            # Reference per-iteration table (spg.py:256-259); wall time
+            # is not observable inside the compiled loop.
+            jax.debug.print("{i} | {nf} | {f} | {r}",
+                            i=n_iter + 1, nf=n_feval, f=f_old_new, r=res2)
 
         converged = res2 < epsilon_two
         if use_infinity_norm:
