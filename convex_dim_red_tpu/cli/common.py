@@ -69,13 +69,22 @@ def add_common_args(parser, model):
                             type=int, default=10000,
                             help='maximum number of iterations')
     else:  # kmeans
+        parser.add_argument('--init', dest='init',
+                            choices=['random', 'k-means++'],
+                            default='k-means++',
+                            help='initialization method')
         parser.add_argument('--n-init', dest='n_init', type=int, default=10,
                             help='number of initializations')
+        parser.add_argument('--tolerance', dest='tolerance', type=float,
+                            default=1e-4, help='stopping tolerance')
         parser.add_argument('--max-iterations', dest='max_iterations',
-                            type=int, default=300,
+                            type=int, default=10000,
                             help='maximum number of iterations')
         parser.add_argument('--n-trials', dest='n_trials', type=int,
                             default=100, help='gap statistic trials')
+        parser.add_argument('--n-jobs', dest='n_jobs', type=int, default=1,
+                            help='number of jobs to use (accepted for '
+                                 'parity; trials run on device)')
         parser.add_argument('--reference', dest='reference',
                             choices=['uniform', 'pca'], default='uniform',
                             help='gap statistic reference distribution')
@@ -395,21 +404,58 @@ def gpnh_analysis(training_data, validation_data, *, n_components, lambda_W,
 
 def kmeans_analysis(training_data, validation_data, *, n_components,
                     n_init, max_iterations, n_trials, reference,
-                    random_seed, verbose=False):
+                    random_seed, init='k-means++', tolerance=1e-4,
+                    cross_validate=False, n_folds=10, verbose=False):
     """K-means + gap statistic (template of reference
-    bin/run_hadisst_kmeans.py)."""
+    bin/run_hadisst_kmeans.py:run_kmeans, including the TimeSeriesSplit
+    cross-validation branch, :203-268 — reimplemented without the
+    reference's 3-index bug at :268)."""
     key = _as_key(random_seed)
-    key, k_fit, k_gap = jax.random.split(key, 3)
+    key, k_fit = jax.random.split(key)
+
+    def fit_model(data, key):
+        k_fit, k_gap = jax.random.split(key)
+        model = KMeans(n_clusters=n_components, init=init, n_init=n_init,
+                       max_iter=max_iterations, tol=tolerance,
+                       random_state=k_fit)
+        model.fit(data)
+        gap, sk = gap_statistic(data, model.inertia_, n_components,
+                                n_trials=n_trials, reference=reference,
+                                random_state=k_gap)
+        return model, gap, sk
+
+    attrs = {}
+    if cross_validate:
+        from sklearn.model_selection import TimeSeriesSplit
+        tscv = TimeSeriesSplit(n_splits=n_folds)
+        cv_gaps, cv_sks = [], []
+        cv_test_costs, cv_test_rmses = [], []
+        for train, test in tscv.split(training_data):
+            key, sub = jax.random.split(key)
+            fold, fold_gap, fold_sk = fit_model(training_data[train], sub)
+            cv_gaps.append(fold_gap)
+            cv_sks.append(fold_sk)
+            centers = np.asarray(fold.cluster_centers_)
+            test_labels = fold.predict(training_data[test])
+            test_resid = training_data[test] - centers[test_labels]
+            cv_test_costs.append(float(np.sum(test_resid ** 2)))
+            cv_test_rmses.append(
+                rmse(training_data[test], centers[test_labels]))
+        attrs.update({
+            'training_set_cost': '{:16.8e}'.format(np.mean(cv_test_costs)),
+            'training_set_cost_std': '{:16.8e}'.format(np.std(cv_test_costs)),
+            'training_set_rmse': '{:16.8e}'.format(np.mean(cv_test_rmses)),
+            'training_set_rmse_std': '{:16.8e}'.format(np.std(cv_test_rmses)),
+            'training_set_gap': '{:16.8e}'.format(np.mean(cv_gaps)),
+            'training_set_gap_std': '{:16.8e}'.format(np.std(cv_gaps)),
+            'training_set_sk': '{:16.8e}'.format(np.mean(cv_sks)),
+            'training_set_sk_std': '{:16.8e}'.format(np.std(cv_sks)),
+            'n_folds': '{:d}'.format(n_folds),
+        })
 
     start = time.perf_counter()
-    model = KMeans(n_clusters=n_components, n_init=n_init,
-                   max_iter=max_iterations, random_state=k_fit)
-    model.fit(training_data)
+    model, gap, sk = fit_model(training_data, k_fit)
     elapsed = time.perf_counter() - start
-
-    gap, sk = gap_statistic(training_data, model.inertia_, n_components,
-                            n_trials=n_trials, reference=reference,
-                            random_state=k_gap)
 
     # One-hot labels as "weights" (reference run_hadisst_kmeans.py:336-345).
     onehot = np.eye(n_components)[model.labels_]
@@ -421,8 +467,9 @@ def kmeans_analysis(training_data, validation_data, *, n_components,
         validation_inertia = float(
             np.sum((validation_data - centers[vlabels]) ** 2))
 
-    attrs = {
-        'training_set_inertia': '{:16.8e}'.format(model.inertia_),
+    if not cross_validate:
+        attrs['training_set_inertia'] = '{:16.8e}'.format(model.inertia_)
+    attrs.update({
         'training_set_size': '{:d}'.format(training_data.shape[0]),
         'test_set_inertia': '{:16.8e}'.format(validation_inertia),
         'test_set_size': '{:d}'.format(
@@ -431,11 +478,13 @@ def kmeans_analysis(training_data, validation_data, *, n_components,
         'gap_sk': '{:16.8e}'.format(sk),
         'n_trials': '{:d}'.format(n_trials),
         'reference': reference,
+        'init': init,
         'n_init': '{:d}'.format(n_init),
         'n_iter': '{:d}'.format(model.n_iter_),
         'max_iterations': '{:d}'.format(max_iterations),
+        'tolerance': '{:16.8e}'.format(tolerance),
         'elapsed_time': '{:16.8e}'.format(elapsed),
-    }
+    })
     return model, onehot, attrs
 
 

@@ -237,7 +237,7 @@ def jra55_pca_gpnh_main(argv=None):
 
 
 def _kmeans_main(spec, description, gridded=True, standardize=False,
-                 argv=None):
+                 cross_validate_flags=False, argv=None):
     parser = argparse.ArgumentParser(description=description)
     add_common_args(parser, 'kmeans')
     if gridded:
@@ -249,6 +249,13 @@ def _kmeans_main(spec, description, gridded=True, standardize=False,
         parser.add_argument('--restrict-to-base-period',
                             dest='restrict_to_base_period',
                             action='store_true')
+    if cross_validate_flags:
+        parser.add_argument('--cross-validate', dest='cross_validate',
+                            action='store_true',
+                            help='use k-fold cross validation')
+        parser.add_argument('--n-folds', dest='n_folds', type=int,
+                            default=10,
+                            help='number of cross-validation folds')
     if standardize:
         parser.add_argument('--standardize', dest='standardize',
                             action='store_true')
@@ -260,10 +267,12 @@ def _kmeans_main(spec, description, gridded=True, standardize=False,
         args, spec, gridded=gridded, standardize=standardize)
 
     model, onehot, attrs = kmeans_analysis(
-        train, val, n_components=args.n_components, n_init=args.n_init,
+        train, val, n_components=args.n_components, init=args.init,
+        n_init=args.n_init, tolerance=args.tolerance,
         max_iterations=args.max_iterations, n_trials=args.n_trials,
         reference=args.reference, random_seed=args.random_seed,
-        verbose=args.verbose)
+        cross_validate=getattr(args, 'cross_validate', False),
+        n_folds=getattr(args, 'n_folds', 10), verbose=args.verbose)
     attrs['lat_weights'] = getattr(args, 'lat_weights', 'none')
 
     result_vars = {
@@ -277,10 +286,11 @@ def _kmeans_main(spec, description, gridded=True, standardize=False,
 
 
 def hadisst_kmeans_main(argv=None):
-    """Mirror of reference bin/run_hadisst_kmeans.py."""
+    """Mirror of reference bin/run_hadisst_kmeans.py (the only k-means
+    driver with the --cross-validate/--n-folds flags, :63-65)."""
     _kmeans_main(HADISST,
                  'Run k-means clustering on HadISST SST anomalies',
-                 argv=argv)
+                 cross_validate_flags=True, argv=argv)
 
 
 def jra55_kmeans_main(argv=None):

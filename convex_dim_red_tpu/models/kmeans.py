@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["KMeans", "kmeans_fit", "kmeans_plusplus", "gap_statistic"]
+__all__ = ["KMeans", "kmeans_fit", "kmeans_plusplus", "random_init",
+           "gap_statistic"]
 
 
 def _sq_dists(X, centroids):
@@ -92,9 +93,19 @@ def _lloyd(X, centroids, max_iter, tol_abs):
     return centroids, labels, inertia, n_iter
 
 
+def random_init(X, n_clusters, key):
+    """Random seeding: ``n_clusters`` distinct observations drawn
+    uniformly (sklearn ``init='random'`` semantics, the option exposed
+    by the reference drivers, run_hadisst_kmeans.py:48-49)."""
+    X = jnp.asarray(X)
+    idx = jax.random.choice(key, X.shape[0], (n_clusters,), replace=False)
+    return X[idx]
+
+
 @functools.partial(jax.jit, static_argnames=('n_clusters', 'n_init',
-                                             'max_iter'))
-def kmeans_fit(X, key, *, n_clusters, n_init=10, max_iter=300, tol=1e-4):
+                                             'max_iter', 'init'))
+def kmeans_fit(X, key, *, n_clusters, n_init=10, max_iter=300, tol=1e-4,
+               init='k-means++'):
     """Best-of-``n_init`` k-means fit; restarts run as a vmap batch.
 
     ``tol`` follows sklearn semantics: scaled by the mean per-feature
@@ -103,9 +114,10 @@ def kmeans_fit(X, key, *, n_clusters, n_init=10, max_iter=300, tol=1e-4):
     """
     X = jnp.asarray(X)
     tol_abs = jnp.asarray(tol, X.dtype) * jnp.mean(jnp.var(X, axis=0))
+    seed = kmeans_plusplus if init == 'k-means++' else random_init
 
     def single(key):
-        centroids = kmeans_plusplus(X, n_clusters, key)
+        centroids = seed(X, n_clusters, key)
         return _lloyd(X, centroids, max_iter, tol_abs)
 
     keys = jax.random.split(key, n_init)
@@ -125,8 +137,10 @@ class KMeans:
 
     def __init__(self, n_clusters, init='k-means++', n_init=10,
                  max_iter=300, tol=1e-4, random_state=None):
-        if init != 'k-means++':
-            raise ValueError("only init='k-means++' is supported")
+        if init not in ('k-means++', 'random'):
+            raise ValueError("init must be 'k-means++' or 'random' "
+                             "(reference run_hadisst_kmeans.py:48-49)")
+        self.init = init
         self.n_clusters = n_clusters
         self.n_init = n_init
         self.max_iter = max_iter
@@ -146,7 +160,8 @@ class KMeans:
         X = jnp.asarray(X)
         centroids, labels, inertia, n_iter = kmeans_fit(
             X, self._key(), n_clusters=self.n_clusters,
-            n_init=self.n_init, max_iter=self.max_iter, tol=self.tol)
+            n_init=self.n_init, max_iter=self.max_iter, tol=self.tol,
+            init=self.init)
         self.cluster_centers_ = centroids
         self.labels_ = np.asarray(labels)
         self.inertia_ = float(inertia)
@@ -162,6 +177,16 @@ class KMeans:
                                "call fit() first")
         d2 = _sq_dists(jnp.asarray(X), self.cluster_centers_)
         return np.asarray(jnp.argmin(d2, axis=1))
+
+    def transform(self, X):
+        """Distances to each cluster center (sklearn ``transform``
+        surface, used by the reference drivers' validation cost,
+        run_hadisst_kmeans.py:281-282)."""
+        if self.cluster_centers_ is None:
+            raise RuntimeError("KMeans instance is not fitted yet; "
+                               "call fit() first")
+        d2 = _sq_dists(jnp.asarray(X), self.cluster_centers_)
+        return np.asarray(jnp.sqrt(d2))
 
 
 # ---------------------------------------------------------------------------

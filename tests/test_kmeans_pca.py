@@ -32,6 +32,36 @@ def test_kmeans_recovers_separated_blobs():
         assert len(set(blob.tolist())) == 1
 
 
+def test_kmeans_random_init_recovers_blobs():
+    # init='random' flag parity (reference run_hadisst_kmeans.py:48-49).
+    rng = np.random.RandomState(3)
+    X = _blobs(rng)
+    model = KMeans(n_clusters=3, init='random', n_init=10,
+                   random_state=0).fit(X)
+    centers = np.sort(np.asarray(model.cluster_centers_), axis=0)
+    expected = np.sort(np.array([[0, 0], [10, 10], [-10, 10]],
+                                dtype=float), axis=0)
+    assert np.allclose(centers, expected, atol=0.5)
+
+
+def test_kmeans_rejects_unknown_init():
+    with pytest.raises(ValueError):
+        KMeans(n_clusters=2, init='bogus')
+
+
+def test_kmeans_transform_returns_center_distances():
+    rng = np.random.RandomState(4)
+    X = _blobs(rng)
+    model = KMeans(n_clusters=3, n_init=5, random_state=0).fit(X)
+    D = model.transform(X)
+    centers = np.asarray(model.cluster_centers_)
+    expected = np.sqrt(((X[:, None, :] - centers[None]) ** 2).sum(-1))
+    assert D.shape == (X.shape[0], 3)
+    assert np.allclose(D, expected, atol=1e-8)
+    # argmin of transform distances == predict labels.
+    assert np.array_equal(np.argmin(D, axis=1), model.predict(X))
+
+
 def test_kmeans_inertia_matches_sklearn_quality():
     sklearn = pytest.importorskip('sklearn.cluster')
     rng = np.random.RandomState(1)

@@ -238,6 +238,25 @@ def test_hadisst_kmeans_driver_end_to_end(synthetic_anomalies, tmp_path):
         assert attr in ds.attrs
 
 
+def test_hadisst_kmeans_driver_cross_validate(synthetic_anomalies,
+                                              tmp_path):
+    # CV branch + init/tolerance flag parity (reference
+    # run_hadisst_kmeans.py:48-71, :203-268).
+    ds = _run_driver("hadisst_kmeans", synthetic_anomalies, tmp_path,
+                     ["--n-components", "2", "--n-init", "2",
+                      "--n-trials", "3", "--init", "random",
+                      "--tolerance", "1e-3", "--cross-validate",
+                      "--n-folds", "3", "--random-seed", "0"])
+    for attr in ('training_set_cost', 'training_set_cost_std',
+                 'training_set_rmse', 'training_set_rmse_std',
+                 'training_set_gap', 'training_set_gap_std',
+                 'training_set_sk', 'training_set_sk_std', 'n_folds',
+                 'gap_statistic', 'gap_sk', 'init', 'tolerance'):
+        assert attr in ds.attrs, attr
+    assert ds.attrs['init'] == 'random'
+    assert ds.attrs['n_folds'] == '3'
+
+
 def test_hadisst_gpnh_driver_end_to_end(synthetic_anomalies, tmp_path):
     ds = _run_driver("hadisst_gpnh", synthetic_anomalies, tmp_path,
                      ["--n-components", "2", "--n-init", "2",
