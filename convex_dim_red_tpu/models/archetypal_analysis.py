@@ -306,10 +306,13 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X, *,
         if verbose:
             # Reference-style iteration table row
             # (archetypal_analysis.py:520-522); per-iteration wall time
-            # is not observable inside the compiled loop.
-            jax.debug.print(
-                "{i} | {c} | {d}",
-                i=n_iter + 1, c=new_cost, d=new_cost - old_cost)
+            # is not observable inside the compiled loop.  Gated off on
+            # backends without host-callback support (utils/compat.py).
+            from ..utils.compat import host_callbacks_supported
+            if host_callbacks_supported():
+                jax.debug.print(
+                    "{i} | {c} | {d}",
+                    i=n_iter + 1, c=new_cost, d=new_cost - old_cost)
 
         stop = has_converged(old_cost, new_cost, tolerance, criterion)
         if require_monotonic:

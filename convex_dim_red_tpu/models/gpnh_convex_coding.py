@@ -198,8 +198,11 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
         trace = trace.at[n_iter].set(new_cost - old_cost)
 
         if verbose:
-            jax.debug.print("{i} | {c} | {d}",
-                            i=n_iter + 1, c=new_cost, d=new_cost - old_cost)
+            from ..utils.compat import host_callbacks_supported
+            if host_callbacks_supported():
+                jax.debug.print("{i} | {c} | {d}",
+                                i=n_iter + 1, c=new_cost,
+                                d=new_cost - old_cost)
 
         stop = has_converged(old_cost, new_cost, tolerance, criterion)
         if require_monotonic:

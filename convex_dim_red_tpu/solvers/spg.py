@@ -35,8 +35,12 @@ caps align); the QP solvers use the closed-form exact line minimizer in
 place of Armijo backtracking (see :func:`quad_simplex_spg`).
 """
 
+import time
+import warnings
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.simplex_projection import simplex_project_vector
 
@@ -81,6 +85,54 @@ def _norms(res):
     return res2, resinf
 
 
+def _emit_spg_warnings(underflow, feval_exceeded, iter_exceeded):
+    """Reference's soft-failure UserWarnings (spg.py:225-229, :271-276,
+    :278-281), emitted host-side from the flags carried out of the
+    jitted solve."""
+    if np.any(underflow):
+        warnings.warn('step size below tolerance in SPG line search',
+                      UserWarning)
+    if np.any(feval_exceeded):
+        warnings.warn('maximum number of function evaluations exceeded '
+                      'in SPG', UserWarning)
+    if np.any(iter_exceeded):
+        warnings.warn('maximum number of iterations exceeded in SPG',
+                      UserWarning)
+
+
+class _VerboseTable:
+    """Host-side printer reproducing the reference's fixed-width SPG
+    iteration table (spg.py:159-164, :256-259), fed per-iteration
+    through ``jax.debug.callback``.  Wall time per row is measured on
+    the host between callback deliveries (the compiled loop itself has
+    no clock)."""
+
+    _HEADER = '{:<12s} | {:<12s} | {:<13s} | {:<13s} | {:<12s}'.format(
+        'n_iter', 'n_feval', 'f', 'conv_crit', 'time')
+    _ROW = '{:12d} | {:12d} | {: 12.6e} | {: 12.6e} | {: 12.6e}'
+
+    def __init__(self):
+        self._last = None
+
+    def header(self, n_feval, f0):
+        print(self._HEADER)
+        print('-' * 79)
+        print(self._ROW.format(0, int(n_feval), float(f0), -1.0, 0.0))
+        self._last = time.perf_counter()
+
+    def row(self, n_iter, n_feval, f, conv_crit):
+        now = time.perf_counter()
+        dt = 0.0 if self._last is None else now - self._last
+        self._last = now
+        print(self._ROW.format(int(n_iter), int(n_feval), float(f),
+                               float(conv_crit), dt))
+
+    def footer(self, converged, n_iter):
+        if bool(converged):
+            print('-' * 79)
+            print('*** Converged at iteration {:d} ***'.format(int(n_iter)))
+
+
 def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
         alpha0=None, alpha_min=1e-5, alpha_max=1e3,
@@ -118,6 +170,14 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
     # Reference initializes the nonmonotone memory with zeros (spg.py:153).
     f_mem = jnp.zeros((memory,), dtype=dtype)
 
+    from ..utils.compat import host_callbacks_supported
+    use_callbacks = host_callbacks_supported()
+    verbose = verbose and use_callbacks
+
+    table = _VerboseTable() if verbose else None
+    if verbose:
+        jax.debug.callback(table.header, n_feval, f_old, ordered=True)
+
     def _dir(x, g, a):
         if project is None:
             return -a * g
@@ -129,11 +189,13 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         return project(x - g) - x
 
     def cond(carry):
-        x, gk, alpha, f_old, f_mem, n_iter, n_feval, done = carry
+        (x, gk, alpha, f_old, f_mem, n_iter, n_feval, done,
+         converged, underflow) = carry
         return (~done) & (n_iter < max_iterations)
 
     def body(carry):
-        x, gk, alpha, f_old, f_mem, n_iter, n_feval, done = carry
+        (x, gk, alpha, f_old, f_mem, n_iter, n_feval, done,
+         converged, underflow) = carry
 
         dk = _dir(x, gk, alpha)
 
@@ -148,21 +210,22 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         n_feval = n_feval + 1
 
         def ls_cond(ls):
-            lam, x_new, f_new, n_feval, underflow = ls
-            return (f_new > f_max + gamma * lam * delta) & (~underflow)
+            lam, x_new, f_new, n_feval, uf = ls
+            return (f_new > f_max + gamma * lam * delta) & (~uf)
 
         def ls_body(ls):
-            lam, x_new, f_new, n_feval, underflow = ls
+            lam, x_new, f_new, n_feval, uf = ls
             lam = line_search_step_length(
                 lam, delta, f_old, f_new, sigma_one, sigma_two)
             x_new = x + lam * dk
             f_new = f(x_new)
-            underflow = jnp.abs(lam) < lambda_min
-            return lam, x_new, f_new, n_feval + 1, underflow
+            uf = jnp.abs(lam) < lambda_min
+            return lam, x_new, f_new, n_feval + 1, uf
 
-        lam, x_new, f_new, n_feval, _ = jax.lax.while_loop(
+        lam, x_new, f_new, n_feval, uf = jax.lax.while_loop(
             ls_cond, ls_body,
             (lam, x_new, f_new, n_feval, jnp.asarray(False)))
+        underflow = underflow | uf
 
         gk_new = df(x_new)
         yk = gk_new - gk
@@ -180,10 +243,9 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         res2, resinf = _norms(res)
 
         if verbose:
-            # Reference per-iteration table (spg.py:256-259); wall time
-            # is not observable inside the compiled loop.
-            jax.debug.print("{i} | {nf} | {f} | {r}",
-                            i=n_iter + 1, nf=n_feval, f=f_old_new, r=res2)
+            # Reference per-iteration table row (spg.py:256-259).
+            jax.debug.callback(table.row, n_iter + 1, n_feval,
+                               f_old_new, res2, ordered=True)
 
         converged = res2 < epsilon_two
         if use_infinity_norm:
@@ -192,12 +254,30 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         done = converged | (n_feval > max_feval)
 
         return (x_new, gk_new, alpha, f_old_new, f_mem_new,
-                n_iter + 1, n_feval, done)
+                n_iter + 1, n_feval, done, converged, underflow)
 
     init = (x, gk, alpha, f_old, f_mem,
-            jnp.asarray(0, dtype=jnp.int32), n_feval, jnp.asarray(False))
-    x, gk, alpha, f_old, f_mem, n_iter, n_feval, done = jax.lax.while_loop(
-        cond, body, init)
+            jnp.asarray(0, dtype=jnp.int32), n_feval, jnp.asarray(False),
+            jnp.asarray(False), jnp.asarray(False))
+    (x, gk, alpha, f_old, f_mem, n_iter, n_feval, done,
+     converged, underflow) = jax.lax.while_loop(cond, body, init)
+
+    if verbose:
+        jax.debug.callback(table.footer, converged, n_iter, ordered=True)
+
+    # Soft failures surface as the reference's UserWarnings
+    # (spg.py:225-229, :271-281): immediately on eager calls, via a host
+    # callback when the solve is traced under jit/vmap.
+    feval_exceeded = (n_feval > max_feval) & ~converged
+    iter_exceeded = (n_iter >= max_iterations) & ~converged
+    if isinstance(jnp.asarray(underflow), jax.core.Tracer):
+        if use_callbacks:
+            jax.debug.callback(_emit_spg_warnings, underflow,
+                               feval_exceeded, iter_exceeded)
+    else:
+        _emit_spg_warnings(np.asarray(underflow),
+                           np.asarray(feval_exceeded),
+                           np.asarray(iter_exceeded))
 
     return x, f_old, n_iter, n_feval
 

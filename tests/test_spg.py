@@ -133,3 +133,72 @@ def test_quad_simplex_spg_batch_monotone_cost():
 
     X = np.asarray(quad_simplex_spg_batch(A, B, X0))
     assert total_cost(X) <= total_cost(X0) + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Soft-failure warnings (reference spg.py:225-229, :271-276, :278-281)
+# ---------------------------------------------------------------------------
+
+
+def test_spg_warns_on_max_iterations():
+    import pytest
+    f = lambda x: jnp.sum(x * x)
+    df = lambda x: 2.0 * x
+    x0 = np.full((4,), 10.0)
+    with pytest.warns(UserWarning,
+                      match='maximum number of iterations exceeded'):
+        spg(f, df, x0, max_iterations=1, epsilon_one=1e-300,
+            epsilon_two=1e-300)
+
+
+def test_spg_warns_on_max_feval():
+    import pytest
+    # Rosenbrock-like: needs many evaluations; max_feval trips first.
+    f = lambda x: jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                          + (1.0 - x[:-1]) ** 2)
+
+    def df(x):
+        g = jnp.zeros_like(x)
+        g = g.at[:-1].set(-400.0 * x[:-1] * (x[1:] - x[:-1] ** 2)
+                          - 2.0 * (1.0 - x[:-1]))
+        g = g.at[1:].add(200.0 * (x[1:] - x[:-1] ** 2))
+        return g
+
+    x0 = np.array([-1.2, 1.0, -1.2, 1.0])
+    with pytest.warns(UserWarning,
+                      match='maximum number of function evaluations'):
+        spg(f, df, x0, max_iterations=10000, max_feval=5,
+            epsilon_one=1e-300, epsilon_two=1e-300)
+
+
+def test_spg_warns_on_line_search_underflow():
+    import pytest
+    # A wrong-sign gradient makes every step an ascent direction: the
+    # nonmonotone line search can never satisfy the Armijo condition and
+    # shrinks lambda below lambda_min.
+    f = lambda x: jnp.sum(x * x)
+    df = lambda x: -2.0 * x
+    x0 = np.full((3,), 5.0)
+    with pytest.warns(UserWarning, match='step size below tolerance'):
+        spg(f, df, x0, max_iterations=2, lambda_min=1e-2,
+            epsilon_one=1e-300, epsilon_two=1e-300)
+
+
+def test_spg_verbose_prints_reference_table(capsys):
+    f = lambda x: jnp.sum(x * x)
+    df = lambda x: 2.0 * x
+    x0 = np.full((2,), 3.0)
+    import jax
+    x, f_min, n_iter, n_feval = spg(f, df, x0, verbose=1,
+                                    max_iterations=50)
+    jax.effects_barrier()
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    # Header columns of the reference table (spg.py:159-164).
+    assert lines[0].split('|')[0].strip() == 'n_iter'
+    assert 'conv_crit' in lines[0] and 'time' in lines[0]
+    assert lines[1] == '-' * 79
+    # Zeroth row has conv_crit == -1 (reference spg.py:162-164).
+    assert '-1.000000e+00' in lines[2]
+    # Converged footer (reference spg.py:263-266).
+    assert any('*** Converged at iteration' in ln for ln in lines)
