@@ -1,14 +1,22 @@
-"""Multi-restart fits: vmapped on one chip, sharded over a mesh.
+"""Multi-restart fits: vmapped on one chip, shard_map'd over a mesh.
 
 The reference's keep-best-of-``n_init`` loop is serial Python
 (reference bin/run_hadisst_aa.py:149-174, n_init=100) — the single
 biggest TPU win in this workload.  Here the restart axis is a ``vmap``
 batch of PRNG keys: every alternating update's matmuls gain a leading
 restart dimension (bigger MXU tiles), and the lockstep while loop runs
-until the slowest restart converges.  On a mesh the same batch is
-sharded over the ``restarts`` axis with ``shard_map`` so each device
-group runs its local restarts with an independent trip count; the
-keep-best reduction is a global argmin over the gathered costs.
+until the slowest restart converges.  On a mesh the same batch runs
+under ``shard_map`` over the ``restarts`` axis — partitioning is
+structural (each device group sees only its local keys; there is no
+reliance on XLA auto-sharding), trip counts are independent per group,
+and the keep-best reduction is an ``all_gather``-argmin +
+``psum``-broadcast of the winning state (parallel/sharded_aa.py
+``_select_best``).
+
+The jitted runners are built once per static configuration
+(``functools.lru_cache``) so repeated calls — restart chunks, sweep
+points, benchmark repetitions — reuse the traced program instead of
+re-tracing on every call.
 """
 
 import functools
@@ -16,13 +24,15 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
 
-from ..models._common import QPSolverConfig, SPGSolverConfig
+from ..models._common import QPSolverConfig, SPGSolverConfig, make_config
 from ..models.archetypal_analysis import _kernel_aa_core
 from ..ops.furthest_sum import furthest_sum_device, \
     dissimilarities_from_kernel
 from ..ops.stochastic_matrices import right_stochastic_matrix
+from .sharded_aa import _select_best
 
 __all__ = ["aa_fit_restarts", "kernel_aa_fit_restarts",
            "gpnh_fit_restarts", "select_best"]
@@ -32,6 +42,164 @@ def select_best(costs, state):
     """Select the argmin-cost slice of a stacked result pytree."""
     best = jnp.argmin(costs)
     return jax.tree_util.tree_map(lambda leaf: leaf[best], state)
+
+
+def _pad_keys(keys, axis_size):
+    """Pad the key batch to a multiple of the mesh restart axis; padded
+    restarts run but are masked out of the keep-best selection."""
+    n = keys.shape[0]
+    pad = (-n) % axis_size
+    if pad:
+        keys = jnp.concatenate([keys, keys[:pad]], axis=0)
+    return keys, n
+
+
+# ---------------------------------------------------------------------------
+# Archetypal analysis
+# ---------------------------------------------------------------------------
+
+
+def _aa_fit_batch(X, K, diss, keys, delta, tolerance, *, n_components,
+                  init, max_iterations, n_extra_steps, criterion, do_scale,
+                  has_data, dict_cfg, weights_cfg, scale_cfg):
+    """Vmapped batch of independent kernel-AA fits (stacked outputs)."""
+    n_samples = K.shape[0]
+    dtype = K.dtype
+
+    def fit_one(key):
+        k_start, k_dict, k_weights, k_alpha = jax.random.split(key, 4)
+        if init == 'furthest_sum':
+            start = jax.random.randint(k_start, (), 0, n_samples)
+            selected = furthest_sum_device(
+                diss, n_components, start, extra_steps=n_extra_steps)
+            C = jax.nn.one_hot(selected, n_samples, dtype=dtype)
+        else:
+            C = right_stochastic_matrix(
+                k_dict, (n_components, n_samples), dtype=dtype)
+        Z = right_stochastic_matrix(
+            k_weights, (n_samples, n_components), dtype=dtype)
+        if do_scale:
+            alpha = jax.random.uniform(
+                k_alpha, (n_components,), dtype=dtype,
+                minval=1 - delta, maxval=1 + delta)
+        else:
+            alpha = jnp.ones((n_components,), dtype=dtype)
+
+        Z, C, alpha, cost, n_iter, trace, _ = _kernel_aa_core(
+            K, Z, C, alpha, delta, tolerance, X,
+            do_scale=do_scale, do_dict=True, do_weights=True,
+            criterion=criterion, max_iterations=max_iterations,
+            require_monotonic=False, has_data=has_data,
+            dict_cfg=dict_cfg, weights_cfg=weights_cfg,
+            scale_cfg=scale_cfg, verbose=False)
+        return Z, C, alpha, cost, n_iter, trace
+
+    return jax.vmap(fit_one)(keys)
+
+
+@functools.lru_cache(maxsize=128)
+def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
+                 max_iterations, n_extra_steps, criterion, do_scale,
+                 has_data, dict_cfg, weights_cfg, scale_cfg):
+    """Build the jitted keep-best runner for one static configuration.
+
+    Returns a function ``(X_or_K, keys, delta, tolerance) ->
+    (Z, C, alpha, trace, costs, n_iters, best_cost, best_n_iter)``
+    where the first six describe the best restart / all restarts.
+    With ``mesh`` given, the key batch is shard_map'd over
+    ``restart_axis``; every device group runs only its local restarts
+    (structural partitioning) and the winner is selected across the
+    mesh.
+    """
+    statics = dict(n_components=n_components, init=init,
+                   max_iterations=max_iterations,
+                   n_extra_steps=n_extra_steps, criterion=criterion,
+                   do_scale=do_scale, has_data=has_data,
+                   dict_cfg=dict_cfg, weights_cfg=weights_cfg,
+                   scale_cfg=scale_cfg)
+
+    def prepare(X):
+        # ArchetypalAnalysis path: X is data, Gram formed on device;
+        # KernelAA path: X *is* the kernel.
+        K = X @ X.T if has_data else X
+        diss = (dissimilarities_from_kernel(K)
+                if init == 'furthest_sum' else None)
+        data = X if has_data else jnp.zeros((), K.dtype)
+        return K, diss, data
+
+    def local_best(Zs, Cs, alphas, costs, n_iters, traces):
+        best = jnp.argmin(costs)
+        return (Zs[best], Cs[best], alphas[best], traces[best],
+                costs, n_iters, costs[best], n_iters[best])
+
+    if mesh is None:
+        @jax.jit
+        def run(X, keys, delta, tolerance):
+            K, diss, data = prepare(X)
+            out = _aa_fit_batch(data, K, diss, keys, delta, tolerance,
+                                **statics)
+            return local_best(*out)
+        return run
+
+    @jax.jit
+    def run(X, keys, delta, tolerance):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(restart_axis, None), P(), P()),
+            out_specs=(P(), P(), P(), P(),
+                       P(restart_axis), P(restart_axis), P(), P()),
+            check_vma=False)
+        def shard_fit(X, keys_loc, delta, tolerance):
+            K, diss, data = prepare(X)
+            Zs, Cs, alphas, costs, n_iters, traces = _aa_fit_batch(
+                data, K, diss, keys_loc, delta, tolerance, **statics)
+            best, best_cost, best_n_iter, best_trace = _select_best(
+                (Zs, Cs, alphas), costs, traces, n_iters,
+                n_valid=n_valid, restart_axis=restart_axis)
+            Z, C, alpha = best
+            return (Z, C, alpha, best_trace, costs, n_iters,
+                    best_cost, best_n_iter)
+
+        return shard_fit(X, keys, delta, tolerance)
+
+    return run
+
+
+def _keep_best_over_chunks(run, X, keys, delta, tolerance, chunk_size,
+                           mesh_axis_size):
+    """Drive ``run`` over restart-key chunks, keeping the best state.
+
+    ``restart_chunk`` bounds how many restarts run in one device
+    execution: very long single executions (large k x many restarts x
+    many iterations) can exceed the TPU worker's execution watchdog and
+    kill the worker process; chunks keep each call bounded with
+    identical keep-best semantics.
+    """
+    n_init = keys.shape[0]
+    if chunk_size is None or chunk_size >= n_init:
+        chunks = [keys]
+    else:
+        if mesh_axis_size > 1:
+            chunk_size = max(chunk_size, mesh_axis_size)
+        chunks = [keys[i:i + chunk_size]
+                  for i in range(0, n_init, chunk_size)]
+
+    best = None
+    all_costs, all_n_iters = [], []
+    for chunk in chunks:
+        n_valid = chunk.shape[0]
+        if mesh_axis_size > 1:
+            chunk, n_valid = _pad_keys(chunk, mesh_axis_size)
+        out = run(chunk.shape[0], n_valid)(X, chunk, delta, tolerance)
+        Z, C, alpha, trace, costs, n_iters, best_cost, best_n_iter = out
+        all_costs.append(np.asarray(costs)[:n_valid])
+        all_n_iters.append(np.asarray(n_iters)[:n_valid])
+        if best is None or float(best_cost) < best[4]:
+            best = (Z, C, alpha, trace, float(best_cost),
+                    int(best_n_iter))
+    costs = np.concatenate(all_costs)
+    n_iters = np.concatenate(all_n_iters)
+    return best, costs, n_iters
 
 
 def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
@@ -48,18 +216,10 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     ``data``: (n_samples, n_features) matrix.  Returns a dict with the
     best restart's ``weights``, ``dictionary``, ``alpha``,
     ``archetypes``, ``cost``, ``n_iter``, plus ``costs`` for all
-    restarts.  With ``mesh`` given, the restart batch is sharded over
-    ``restart_axis`` (the key batch is placed with a ``NamedSharding``
-    and XLA partitions the vmapped fit).
-
-    ``restart_chunk`` bounds how many restarts run in one device
-    execution: very long single executions (large k x many restarts x
-    many iterations) can exceed the TPU worker's execution watchdog and
-    kill the worker process; chunks keep each call bounded with
-    identical keep-best semantics.
+    restarts.  With ``mesh`` given, the restart batch runs under
+    ``shard_map`` over ``restart_axis`` (structurally partitioned; see
+    module docstring).
     """
-    from ..models._common import make_config
-
     X = jnp.asarray(data)
 
     dict_cfg = make_config(SPGSolverConfig, dictionary_solver_kwargs)
@@ -67,94 +227,24 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     scale_cfg = make_config(SPGSolverConfig, scale_factors_solver_kwargs)
 
     keys = jax.random.split(key, n_init)
-    if mesh is not None:
-        keys = jax.device_put(
-            keys, NamedSharding(mesh, P(restart_axis, None)))
-        X = jax.device_put(X, NamedSharding(mesh, P()))
-
     do_scale = float(delta) != 0.0
+    axis_size = 1 if mesh is None else mesh.shape[restart_axis]
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=('n_components', 'init', 'max_iterations',
-                         'n_extra_steps', 'criterion', 'do_scale'))
-    def run(X, keys, delta, tolerance, *, n_components, init,
-            max_iterations, n_extra_steps, criterion, do_scale):
-        # Gram, dissimilarities, every restart, and the keep-best
-        # reduction run inside one XLA program — only the winning state
-        # (plus the small per-restart costs) leaves the device.
-        K = X @ X.T
-        n_samples = K.shape[0]
-        dtype = K.dtype
-        diss = (dissimilarities_from_kernel(K)
-                if init == 'furthest_sum' else None)
-
-        def fit_one(key):
-            k_start, k_dict, k_weights, k_alpha = jax.random.split(key, 4)
-            if init == 'furthest_sum':
-                start = jax.random.randint(k_start, (), 0, n_samples)
-                selected = furthest_sum_device(
-                    diss, n_components, start, extra_steps=n_extra_steps)
-                C = jax.nn.one_hot(selected, n_samples, dtype=dtype)
-            else:
-                C = right_stochastic_matrix(
-                    k_dict, (n_components, n_samples), dtype=dtype)
-            Z = right_stochastic_matrix(
-                k_weights, (n_samples, n_components), dtype=dtype)
-            if do_scale:
-                alpha = jax.random.uniform(
-                    k_alpha, (n_components,), dtype=dtype,
-                    minval=1 - delta, maxval=1 + delta)
-            else:
-                alpha = jnp.ones((n_components,), dtype=dtype)
-
-            Z, C, alpha, cost, n_iter, trace, _ = _kernel_aa_core(
-                K, Z, C, alpha, delta, tolerance, X,
-                do_scale=do_scale, do_dict=True, do_weights=True,
-                criterion=criterion, max_iterations=max_iterations,
-                require_monotonic=False, has_data=True,
-                dict_cfg=dict_cfg, weights_cfg=weights_cfg,
-                scale_cfg=scale_cfg, verbose=False)
-            return Z, C, alpha, cost, n_iter, trace
-
-        Zs, Cs, alphas, costs, n_iters, traces = jax.vmap(fit_one)(keys)
-        best = jnp.argmin(costs)
-        return (Zs[best], Cs[best], alphas[best], traces[best],
-                costs, n_iters, best)
-
-    if restart_chunk is None or restart_chunk >= n_init:
-        chunks = [keys]
-    else:
-        chunks = [keys[i:i + restart_chunk]
-                  for i in range(0, n_init, restart_chunk)]
-
-    best_state = None
-    best_cost = np.inf
-    all_costs = []
-    all_n_iters = []
-    best_offset = 0
-    for offset, chunk in enumerate(chunks):
-        Z, C, alpha, trace, costs, n_iters, best_idx = run(
-            X, chunk, jnp.asarray(delta, X.dtype),
-            jnp.asarray(tolerance, X.dtype),
+    def runner(n_keys, n_valid):
+        return _make_aa_run(
+            mesh, restart_axis, n_valid if mesh is not None else n_keys,
             n_components=int(n_components), init=init,
             max_iterations=int(max_iterations),
             n_extra_steps=int(n_extra_steps),
-            criterion=stopping_criterion, do_scale=do_scale)
-        costs = np.asarray(costs)
-        all_costs.append(costs)
-        all_n_iters.append(np.asarray(n_iters))
-        chunk_best = float(costs.min())
-        if chunk_best < best_cost:
-            best_cost = chunk_best
-            best_state = (Z, C, alpha, trace)
-            best_offset = sum(c.shape[0] for c in all_costs[:-1]) \
-                + int(best_idx)
+            criterion=stopping_criterion, do_scale=do_scale,
+            has_data=True, dict_cfg=dict_cfg, weights_cfg=weights_cfg,
+            scale_cfg=scale_cfg)
 
-    Z, C, alpha, trace = best_state
-    costs = np.concatenate(all_costs)
-    n_iters = np.concatenate(all_n_iters)
-    n_iter_best = int(n_iters[best_offset])
+    best, costs, n_iters = _keep_best_over_chunks(
+        runner, X, keys, jnp.asarray(delta, X.dtype),
+        jnp.asarray(tolerance, X.dtype), restart_chunk, axis_size)
+
+    Z, C, alpha, trace, best_cost, n_iter_best = best
     cost_deltas = np.asarray(trace)[:n_iter_best]
     dictionary = alpha[:, None] * C if do_scale else C
     archetypes = dictionary @ X
@@ -169,8 +259,152 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
         'cost_deltas': cost_deltas,
         'costs': costs,
         'n_iters': n_iters,
-        'best_index': best_offset,
+        'best_index': int(np.argmin(costs)),
     }
+
+
+def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
+                           init='furthest_sum', tolerance=1e-6,
+                           max_iterations=500, n_extra_steps=10,
+                           stopping_criterion='abs_delta_f',
+                           dictionary_solver_kwargs=None,
+                           weights_solver_kwargs=None,
+                           scale_factors_solver_kwargs=None,
+                           mesh=None, restart_axis='restarts',
+                           restart_chunk=None):
+    """Best-of-``n_init`` kernel AA on a precomputed kernel matrix.
+
+    Kernel-space analog of :func:`aa_fit_restarts` for ``KernelAA``
+    users (no data matrix; the outer-loop cost uses the kernel trace
+    form).  Returns a dict with the best restart's ``weights``,
+    ``dictionary``, ``alpha``, ``cost``, ``n_iter``, ``cost_deltas``,
+    plus ``costs``/``n_iters`` for every restart.
+    """
+    K = jnp.asarray(kernel)
+    dict_cfg = make_config(SPGSolverConfig, dictionary_solver_kwargs)
+    weights_cfg = make_config(QPSolverConfig, weights_solver_kwargs)
+    scale_cfg = make_config(SPGSolverConfig, scale_factors_solver_kwargs)
+
+    keys = jax.random.split(key, n_init)
+    do_scale = float(delta) != 0.0
+    axis_size = 1 if mesh is None else mesh.shape[restart_axis]
+
+    def runner(n_keys, n_valid):
+        return _make_aa_run(
+            mesh, restart_axis, n_valid if mesh is not None else n_keys,
+            n_components=int(n_components), init=init,
+            max_iterations=int(max_iterations),
+            n_extra_steps=int(n_extra_steps),
+            criterion=stopping_criterion, do_scale=do_scale,
+            has_data=False, dict_cfg=dict_cfg, weights_cfg=weights_cfg,
+            scale_cfg=scale_cfg)
+
+    best, costs, n_iters = _keep_best_over_chunks(
+        runner, K, keys, jnp.asarray(delta, K.dtype),
+        jnp.asarray(tolerance, K.dtype), restart_chunk, axis_size)
+
+    Z, C, alpha, trace, best_cost, n_iter_best = best
+    return {
+        'weights': Z,
+        'dictionary': C,
+        'alpha': alpha,
+        'cost': best_cost,
+        'n_iter': n_iter_best,
+        'cost_deltas': np.asarray(trace)[:n_iter_best],
+        'costs': costs,
+        'n_iters': n_iters,
+        'best_index': int(np.argmin(costs)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# GPNH convex coding
+# ---------------------------------------------------------------------------
+
+
+def _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance, *, n_components,
+                    init, max_iterations, n_extra_steps, criterion,
+                    weights_cfg):
+    from ..models.gpnh_convex_coding import _gpnh_core
+
+    n_samples, n_features = X.shape
+    dtype = X.dtype
+
+    def fit_one(key):
+        k_start, k_dict, k_weights = jax.random.split(key, 3)
+        if init == 'furthest_sum':
+            # Reference init: dictionary columns are the FurthestSum-
+            # selected data rows (gpnh_convex_coding.py:52-81), selected
+            # on device and vmapped over per-restart random starts.
+            start = jax.random.randint(k_start, (), 0, n_samples)
+            selected = furthest_sum_device(
+                diss, n_components, start, extra_steps=n_extra_steps)
+            W = X[selected].T
+        else:
+            avg = jnp.sqrt(jnp.mean(jnp.abs(X)) / n_components)
+            W = avg * jax.random.normal(
+                k_dict, (n_features, n_components), dtype=dtype)
+        Z = right_stochastic_matrix(
+            k_weights, (n_samples, n_components), dtype=dtype)
+        Z, W, cost, n_iter, trace, _ = _gpnh_core(
+            X, Z, W, lambda_W, tolerance,
+            do_dict=True, do_weights=True, criterion=criterion,
+            max_iterations=max_iterations, require_monotonic=False,
+            weights_cfg=weights_cfg, verbose=False)
+        return Z, W, cost, n_iter, trace
+
+    return jax.vmap(fit_one)(keys)
+
+
+@functools.lru_cache(maxsize=128)
+def _make_gpnh_run(mesh, restart_axis, n_valid, *, n_components, init,
+                   max_iterations, n_extra_steps, criterion, weights_cfg):
+    statics = dict(n_components=n_components, init=init,
+                   max_iterations=max_iterations,
+                   n_extra_steps=n_extra_steps, criterion=criterion,
+                   weights_cfg=weights_cfg)
+
+    def prepare(X):
+        if init == 'furthest_sum':
+            return dissimilarities_from_kernel(X @ X.T)
+        return None
+
+    def local_best(Zs, Ws, costs, n_iters, traces):
+        best = jnp.argmin(costs)
+        return (Zs[best], Ws[best], traces[best], costs, n_iters,
+                costs[best], n_iters[best])
+
+    if mesh is None:
+        @jax.jit
+        def run(X, keys, lambda_W, tolerance):
+            diss = prepare(X)
+            out = _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance,
+                                  **statics)
+            return local_best(*out)
+        return run
+
+    @jax.jit
+    def run(X, keys, lambda_W, tolerance):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(restart_axis, None), P(), P()),
+            out_specs=(P(), P(), P(), P(restart_axis), P(restart_axis),
+                       P(), P()),
+            check_vma=False)
+        def shard_fit(X, keys_loc, lambda_W, tolerance):
+            diss = prepare(X)
+            Zs, Ws, costs, n_iters, traces = _gpnh_fit_batch(
+                X, diss, keys_loc, lambda_W, tolerance, **statics)
+            best, best_cost, best_n_iter, best_trace = _select_best(
+                (Zs, Ws), costs, traces, n_iters, n_valid=n_valid,
+                restart_axis=restart_axis)
+            Z, W = best
+            return (Z, W, best_trace, costs, n_iters, best_cost,
+                    best_n_iter)
+
+        return shard_fit(X, keys, lambda_W, tolerance)
+
+    return run
 
 
 def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
@@ -182,181 +416,44 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
     """Best-of-``n_init`` GPNH convex coding, fully on device.
 
     Vmapped analog of the reference drivers' serial keep-best loop for
-    GPNH (bin/run_hadisst_gpnh.py:149-171).  Returns a dict with the
-    best restart's ``weights``, ``dictionary``, ``cost``, ``n_iter``,
-    ``cost_deltas`` plus the full ``costs``/``n_iters`` arrays.
+    GPNH (bin/run_hadisst_gpnh.py:149-171), supporting both driver inits
+    (``random`` and device-side ``furthest_sum``).  Returns a dict with
+    the best restart's ``weights``, ``dictionary``, ``cost``,
+    ``n_iter``, ``cost_deltas`` plus the full ``costs``/``n_iters``
+    arrays.
     """
-    from ..models._common import make_config
-    from ..models.gpnh_convex_coding import _gpnh_core
+    if init not in ('random', 'furthest_sum'):
+        raise ValueError(
+            "gpnh_fit_restarts supports init='random' or "
+            "'furthest_sum' (the reference drivers' choices)")
 
     X = jnp.asarray(data)
-    n_samples, n_features = X.shape
     weights_cfg = make_config(QPSolverConfig, weights_solver_kwargs)
 
     keys = jax.random.split(key, n_init)
+    n_valid = n_init
     if mesh is not None:
-        keys = jax.device_put(
-            keys, NamedSharding(mesh, P(restart_axis, None)))
-        X = jax.device_put(X, NamedSharding(mesh, P()))
+        keys, n_valid = _pad_keys(keys, mesh.shape[restart_axis])
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=('n_components', 'init', 'max_iterations',
-                         'criterion'))
-    def run(X, keys, lambda_W, tolerance, *, n_components, init,
-            max_iterations, criterion):
-        dtype = X.dtype
+    run = _make_gpnh_run(
+        mesh, restart_axis, n_valid, n_components=int(n_components),
+        init=init, max_iterations=int(max_iterations),
+        n_extra_steps=int(n_extra_steps), criterion=stopping_criterion,
+        weights_cfg=weights_cfg)
 
-        def fit_one(key):
-            k_dict, k_weights = jax.random.split(key)
-            if init == 'random':
-                avg = jnp.sqrt(jnp.mean(jnp.abs(X)) / n_components)
-                W = avg * jax.random.normal(
-                    k_dict, (n_features, n_components), dtype=dtype)
-            else:
-                raise ValueError(
-                    "gpnh_fit_restarts supports init='random' (the "
-                    "reference drivers' default); furthest_sum init is "
-                    "available through the GPNHConvexCoding estimator")
-            Z = right_stochastic_matrix(
-                k_weights, (n_samples, n_components), dtype=dtype)
-            Z, W, cost, n_iter, trace, _ = _gpnh_core(
-                X, Z, W, lambda_W, tolerance,
-                do_dict=True, do_weights=True, criterion=criterion,
-                max_iterations=max_iterations, require_monotonic=False,
-                weights_cfg=weights_cfg, verbose=False)
-            return Z, W, cost, n_iter, trace
-
-        return jax.vmap(fit_one)(keys)
-
-    Zs, Ws, costs, n_iters, traces = run(
-        X, keys, jnp.asarray(lambda_W, X.dtype),
-        jnp.asarray(tolerance, X.dtype),
-        n_components=int(n_components), init=init,
-        max_iterations=int(max_iterations),
-        criterion=stopping_criterion)
-
-    best = int(jnp.argmin(costs))
-    n_iter_best = int(n_iters[best])
-    return {
-        'weights': Zs[best],
-        'dictionary': Ws[best],
-        'cost': float(costs[best]),
-        'n_iter': n_iter_best,
-        'cost_deltas': np.asarray(traces[best])[:n_iter_best],
-        'costs': costs,
-        'n_iters': np.asarray(n_iters),
-        'best_index': best,
-    }
-
-
-def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
-                           init='furthest_sum', tolerance=1e-6,
-                           max_iterations=500, n_extra_steps=10,
-                           stopping_criterion='abs_delta_f',
-                           dictionary_solver_kwargs=None,
-                           weights_solver_kwargs=None,
-                           scale_factors_solver_kwargs=None,
-                           restart_chunk=None):
-    """Best-of-``n_init`` kernel AA on a precomputed kernel matrix.
-
-    Kernel-space analog of :func:`aa_fit_restarts` for ``KernelAA``
-    users (no data matrix; the outer-loop cost uses the kernel trace
-    form).  Returns a dict with the best restart's ``weights``,
-    ``dictionary``, ``alpha``, ``cost``, ``n_iter``, ``cost_deltas``,
-    plus ``costs``/``n_iters`` for every restart.
-    """
-    from ..models._common import make_config
-
-    K = jnp.asarray(kernel)
-    dict_cfg = make_config(SPGSolverConfig, dictionary_solver_kwargs)
-    weights_cfg = make_config(QPSolverConfig, weights_solver_kwargs)
-    scale_cfg = make_config(SPGSolverConfig, scale_factors_solver_kwargs)
-
-    keys = jax.random.split(key, n_init)
-    do_scale = float(delta) != 0.0
-
-    @functools.partial(
-        jax.jit,
-        static_argnames=('n_components', 'init', 'max_iterations',
-                         'n_extra_steps', 'criterion', 'do_scale'))
-    def run(K, keys, delta, tolerance, *, n_components, init,
-            max_iterations, n_extra_steps, criterion, do_scale):
-        n_samples = K.shape[0]
-        dtype = K.dtype
-        diss = (dissimilarities_from_kernel(K)
-                if init == 'furthest_sum' else None)
-
-        def fit_one(key):
-            k_start, k_dict, k_weights, k_alpha = jax.random.split(key, 4)
-            if init == 'furthest_sum':
-                start = jax.random.randint(k_start, (), 0, n_samples)
-                selected = furthest_sum_device(
-                    diss, n_components, start, extra_steps=n_extra_steps)
-                C = jax.nn.one_hot(selected, n_samples, dtype=dtype)
-            else:
-                C = right_stochastic_matrix(
-                    k_dict, (n_components, n_samples), dtype=dtype)
-            Z = right_stochastic_matrix(
-                k_weights, (n_samples, n_components), dtype=dtype)
-            if do_scale:
-                alpha = jax.random.uniform(
-                    k_alpha, (n_components,), dtype=dtype,
-                    minval=1 - delta, maxval=1 + delta)
-            else:
-                alpha = jnp.ones((n_components,), dtype=dtype)
-
-            Z, C, alpha, cost, n_iter, trace, _ = _kernel_aa_core(
-                K, Z, C, alpha, delta, tolerance,
-                jnp.zeros((), dtype),
-                do_scale=do_scale, do_dict=True, do_weights=True,
-                criterion=criterion, max_iterations=max_iterations,
-                require_monotonic=False, has_data=False,
-                dict_cfg=dict_cfg, weights_cfg=weights_cfg,
-                scale_cfg=scale_cfg, verbose=False)
-            return Z, C, alpha, cost, n_iter, trace
-
-        Zs, Cs, alphas, costs, n_iters, traces = jax.vmap(fit_one)(keys)
-        best = jnp.argmin(costs)
-        return (Zs[best], Cs[best], alphas[best], traces[best],
-                costs, n_iters, best)
-
-    if restart_chunk is None or restart_chunk >= n_init:
-        chunks = [keys]
-    else:
-        chunks = [keys[i:i + restart_chunk]
-                  for i in range(0, n_init, restart_chunk)]
-
-    best_state, best_cost, best_offset = None, np.inf, 0
-    all_costs, all_n_iters = [], []
-    for chunk in chunks:
-        Z, C, alpha, trace, costs, n_iters, best_idx = run(
-            K, chunk, jnp.asarray(delta, K.dtype),
-            jnp.asarray(tolerance, K.dtype),
-            n_components=int(n_components), init=init,
-            max_iterations=int(max_iterations),
-            n_extra_steps=int(n_extra_steps),
-            criterion=stopping_criterion, do_scale=do_scale)
-        costs = np.asarray(costs)
-        all_costs.append(costs)
-        all_n_iters.append(np.asarray(n_iters))
-        if float(costs.min()) < best_cost:
-            best_cost = float(costs.min())
-            best_state = (Z, C, alpha, trace)
-            best_offset = sum(c.shape[0] for c in all_costs[:-1]) \
-                + int(best_idx)
-
-    Z, C, alpha, trace = best_state
-    n_iters = np.concatenate(all_n_iters)
-    n_iter_best = int(n_iters[best_offset])
+    out = run(X, keys, jnp.asarray(lambda_W, X.dtype),
+              jnp.asarray(tolerance, X.dtype))
+    Z, W, trace, costs, n_iters, best_cost, best_n_iter = out
+    costs = np.asarray(costs)[:n_valid]
+    n_iters = np.asarray(n_iters)[:n_valid]
+    n_iter_best = int(best_n_iter)
     return {
         'weights': Z,
-        'dictionary': C,
-        'alpha': alpha,
-        'cost': best_cost,
+        'dictionary': W,
+        'cost': float(best_cost),
         'n_iter': n_iter_best,
         'cost_deltas': np.asarray(trace)[:n_iter_best],
-        'costs': np.concatenate(all_costs),
+        'costs': costs,
         'n_iters': n_iters,
-        'best_index': best_offset,
+        'best_index': int(np.argmin(costs)),
     }

@@ -1,20 +1,28 @@
-"""Mesh-sharded archetypal analysis: explicit SPMD over (restarts, samples).
+"""Mesh-sharded model fits: explicit SPMD over (restarts, samples).
 
 The scaling design for data too large (or restart counts too high) for
 one chip.  Mesh axes:
 
 - ``restarts``: independent fits, pure data parallelism (no collectives
-  except the final keep-best argmin).
+  except the final keep-best selection).
 - ``samples``: rows of the data matrix.  Per-row weight QPs are local;
   the k-sized contractions cross shards via ICI collectives:
-  ``psum`` for Z'Z / C@K / C@X / cost reductions, ``all_gather`` for the
+  ``psum`` for Z'Z / C@K / cost reductions, ``all_gather`` for the
   (n, k)-sized Z and KZD blocks.
 
 Every device in a ``samples`` group computes identical replicated
-scalars for the dictionary solver's convergence test, so the
-``lax.while_loop`` trip counts agree and the in-loop ``psum`` cannot
-deadlock; the per-row weight solves have no collectives and run with
-independent trip counts per shard.
+scalars for the solvers' convergence tests and the outer stopping test,
+so the ``lax.while_loop`` trip counts agree within each communicating
+group and the in-loop ``psum``s cannot deadlock; restart groups never
+communicate inside the loops, so their trip counts are free to differ.
+
+:func:`sharded_aa_fit` / :func:`sharded_gpnh_fit` run the FULL
+alternating fit to convergence under ``shard_map`` — including the
+scale-factor (alpha) update for delta != 0 and the cross-mesh keep-best
+selection — reproducing the math of the single-device cores
+(models/archetypal_analysis._kernel_aa_core,
+models/gpnh_convex_coding._gpnh_core) term by term so the cost
+trajectories match the unsharded fits.
 
 The reference has no distributed execution at all (SURVEY.md §2.4);
 this module is the from-scratch TPU scaling layer.
@@ -27,10 +35,14 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from ..models._common import (QPSolverConfig, SPGSolverConfig, make_config,
+                              has_converged)
+from ..models.archetypal_analysis import _spg_cfg_to_quad_kwargs
 from ..ops.simplex_projection import simplex_project_rows
 from ..solvers.spg import quad_spg, quad_simplex_spg_batch
 
-__all__ = ["distributed_gram", "sharded_aa_train_step"]
+__all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
+           "sharded_gpnh_fit"]
 
 
 def distributed_gram(mesh, X, feature_axis="samples"):
@@ -49,7 +61,160 @@ def distributed_gram(mesh, X, feature_axis="samples"):
     return _gram(X)
 
 
-def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *,
+# ---------------------------------------------------------------------------
+# Shared per-iteration math (one AA alternating iteration on local shards)
+# ---------------------------------------------------------------------------
+
+
+def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
+                      dict_kwargs, weights_kwargs, scale_kwargs,
+                      sample_axis):
+    """One AA alternating iteration on a sample-sharded state.
+
+    Mirrors the update order and factorization of the single-device core
+    (models/archetypal_analysis._kernel_aa_core body: scale factors →
+    dictionary → weights → residual cost), with the k-sized contractions
+    crossing sample shards via ``psum``/``all_gather``.
+
+    ``X_loc``/``K_loc``/``Z_loc`` hold this shard's sample rows; ``C``
+    and ``alpha`` are replicated within the sample group.
+    """
+    n_loc = X_loc.shape[0]
+    n_samples = C.shape[1]
+    shard = jax.lax.axis_index(sample_axis)
+
+    def cols(M):
+        return jax.lax.dynamic_slice_in_dim(M, shard * n_loc, n_loc, axis=1)
+
+    ZtZ = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
+    Z_full = jax.lax.all_gather(Z_loc, sample_axis, tiled=True)
+    KZ_loc = K_loc @ Z_full                          # (n_loc, k)
+    CK = jax.lax.psum(cols(C) @ K_loc, sample_axis)  # (k, n) replicated
+
+    if do_scale:
+        CKZ = jax.lax.psum(cols(CK) @ Z_loc, sample_axis)
+        CKCt = CK @ C.T
+        M = ZtZ * CKCt
+        project = lambda a: jnp.clip(a, 1.0 - delta, 1.0 + delta)
+        alpha = quad_spg(lambda a: (M @ a) / n_samples,
+                         jnp.diagonal(CKZ) / n_samples, alpha, project,
+                         **scale_kwargs)
+
+    # --- dictionary update (distributed quad_spg; parity with
+    # update_kernel_aa_dictionary) ---
+    KZD_loc = KZ_loc * alpha[None, :]
+    B = jax.lax.all_gather(KZD_loc, sample_axis, tiled=True).T / n_samples
+    DZtZD = (alpha[:, None] * ZtZ) * alpha[None, :]
+
+    def matvec(Cm):
+        CKm = jax.lax.psum(cols(Cm) @ K_loc, sample_axis)
+        return DZtZD @ CKm / n_samples
+
+    C = quad_spg(matvec, B, C, simplex_project_rows, **dict_kwargs)
+
+    # --- weights update (local rows; parity with
+    # update_kernel_aa_weights) ---
+    CK = jax.lax.psum(cols(C) @ K_loc, sample_axis)
+    CKCt = CK @ C.T
+    A = (alpha[:, None] * CKCt) * alpha[None, :]
+    B_w = -(alpha[:, None] * cols(CK)).T             # (n_loc, k)
+    Z_loc = quad_simplex_spg_batch(A, B_w, Z_loc, **weights_kwargs)
+
+    # --- residual cost (the _kernel_aa_core has_data form) ---
+    CX = jax.lax.psum(cols(C) @ X_loc, sample_axis)  # (k, d)
+    resid = Z_loc @ (alpha[:, None] * CX) - X_loc
+    cost = jax.lax.psum(jnp.sum(resid * resid), sample_axis) \
+        * 0.5 / n_samples
+
+    return Z_loc, C, alpha, cost
+
+
+def _aa_local_cost(X_loc, Z_loc, C, alpha, sample_axis):
+    n_loc = X_loc.shape[0]
+    n_samples = C.shape[1]
+    shard = jax.lax.axis_index(sample_axis)
+    C_cols = jax.lax.dynamic_slice_in_dim(C, shard * n_loc, n_loc, axis=1)
+    CX = jax.lax.psum(C_cols @ X_loc, sample_axis)
+    resid = Z_loc @ (alpha[:, None] * CX) - X_loc
+    return jax.lax.psum(jnp.sum(resid * resid), sample_axis) \
+        * 0.5 / n_samples
+
+
+# ---------------------------------------------------------------------------
+# Keep-best convergence machinery (shared by the AA and GPNH fits)
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_loop(states, cost0, iterate, *, tolerance, criterion,
+                    max_iterations):
+    """Run vmapped local restarts to convergence with per-restart
+    freezing.  ``states`` is a pytree with a leading local-restart axis;
+    ``iterate(*leaves) -> (*leaves, cost)``."""
+    R_loc = cost0.shape[0]
+    trace = jnp.zeros((R_loc, max_iterations), cost0.dtype)
+    n_iters = jnp.zeros((R_loc,), jnp.int32)
+    done0 = jnp.zeros((R_loc,), bool)
+
+    def cond(carry):
+        states, cost, it, done, trace, n_iters = carry
+        return (~jnp.all(done)) & (it < max_iterations)
+
+    def body(carry):
+        states, cost, it, done, trace, n_iters = carry
+        out = jax.vmap(iterate)(*states)
+        new_states, new_cost = tuple(out[:-1]), out[-1]
+        # Converged restarts freeze (lockstep, like the vmapped
+        # single-chip batch); the rest advance.
+        new_states = tuple(
+            jnp.where(done.reshape((-1,) + (1,) * (n.ndim - 1)), o, n)
+            for o, n in zip(states, new_states))
+        new_cost = jnp.where(done, cost, new_cost)
+        trace = trace.at[:, it].set(jnp.where(done, 0.0, new_cost - cost))
+        n_iters = n_iters + (~done).astype(jnp.int32)
+        done = done | has_converged(cost, new_cost, tolerance, criterion)
+        return new_states, new_cost, it + 1, done, trace, n_iters
+
+    init = (tuple(states), cost0, jnp.asarray(0, jnp.int32), done0,
+            trace, n_iters)
+    states, cost, it, done, trace, n_iters = jax.lax.while_loop(
+        cond, body, init)
+    return states, cost, trace, n_iters
+
+
+def _select_best(states, costs, trace, n_iters, *, n_valid, restart_axis):
+    """Cross-mesh keep-best: mask padded restarts, local argmin, then a
+    global argmin over the restart axis with a psum-based broadcast of
+    the winning state (small: the state is one restart's factors)."""
+    R_loc = costs.shape[0]
+    r_group = jax.lax.axis_index(restart_axis)
+    global_idx = r_group * R_loc + jnp.arange(R_loc)
+    masked = jnp.where(global_idx < n_valid, costs, jnp.inf)
+
+    local_best = jnp.argmin(masked)
+    local_cost = masked[local_best]
+    all_costs = jax.lax.all_gather(local_cost, restart_axis)
+    winner = jnp.argmin(all_costs)
+    is_winner = (r_group == winner)
+
+    def pick(arr):
+        cand = arr[local_best]
+        return jax.lax.psum(
+            jnp.where(is_winner, cand, jnp.zeros_like(cand)), restart_axis)
+
+    best_states = tuple(pick(s) for s in states)
+    best_trace = pick(trace)
+    best_n_iter = pick(n_iters)
+    best_cost = all_costs[winner]
+    return best_states, best_cost, best_n_iter, best_trace
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
+                          do_scale=False,
                           dict_iterations=5, weights_iterations=50,
                           restart_axis="restarts", sample_axis="samples"):
     """One full AA alternating iteration over a 2-D mesh.
@@ -60,12 +225,17 @@ def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *,
               sample rows over ``sample_axis``.
       Cs:     (n_restarts, k, n_samples) — restarts sharded, replicated
               within a sample group.
-      alphas: (n_restarts, k).
+      alphas: (n_restarts, k); updated when ``do_scale`` (box [1±delta]).
 
     Returns updated ``(Zs, Cs, alphas, costs)`` with the same shardings
     (``costs``: per-restart objective).  Jit-compatible; call under
     ``jax.jit`` for real runs.
     """
+    dict_kwargs = _spg_cfg_to_quad_kwargs(
+        SPGSolverConfig(max_iterations=dict_iterations))
+    weights_kwargs = QPSolverConfig(
+        max_iterations=weights_iterations).kwargs()
+    scale_kwargs = _spg_cfg_to_quad_kwargs(SPGSolverConfig())
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -79,56 +249,192 @@ def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *,
                    P(restart_axis)),
         check_vma=False)
     def step(X_loc, Zs_loc, Cs_loc, alphas_loc):
-        n_loc, d = X_loc.shape
-        n_samples = Cs_loc.shape[2]  # C is replicated within a sample group
-        shard = jax.lax.axis_index(sample_axis)
-
-        # Restart-independent blocks: rows of the Gram matrix.
         X_full = jax.lax.all_gather(X_loc, sample_axis, tiled=True)
-        K_loc = X_loc @ X_full.T                     # (n_loc, n)
+        K_loc = X_loc @ X_full.T
 
         def per_restart(Z_loc, C, alpha):
-            k = C.shape[0]
-
-            Z_full = jax.lax.all_gather(Z_loc, sample_axis, tiled=True)
-            ZtZ = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
-            KZ_loc = K_loc @ Z_full                  # (n_loc, k)
-
-            # --- dictionary update (distributed quad_spg) ---
-            KZD_loc = KZ_loc * alpha[None, :]
-            B = jax.lax.all_gather(
-                KZD_loc, sample_axis, tiled=True).T / n_samples
-            DZtZD = (alpha[:, None] * ZtZ) * alpha[None, :]
-
-            def matvec(Cm):
-                # C @ K = sum over shards of C[:, rows_loc] @ K_loc.
-                C_cols = jax.lax.dynamic_slice_in_dim(
-                    Cm, shard * n_loc, n_loc, axis=1)
-                CK = jax.lax.psum(C_cols @ K_loc, sample_axis)
-                return DZtZD @ CK / n_samples
-
-            C_new = quad_spg(matvec, B, C, simplex_project_rows,
-                             max_iterations=dict_iterations)
-
-            # --- weights update (local rows, no collectives) ---
-            CK_loc = (K_loc @ C_new.T).T             # (k, n_loc)
-            C_cols = jax.lax.dynamic_slice_in_dim(
-                C_new, shard * n_loc, n_loc, axis=1)
-            CKCt = jax.lax.psum(CK_loc @ C_cols.T, sample_axis)
-
-            A = (alpha[:, None] * CKCt) * alpha[None, :]
-            B_w = -(alpha[:, None] * CK_loc).T       # (n_loc, k)
-            Z_loc_new = quad_simplex_spg_batch(
-                A, B_w, Z_loc, max_iterations=weights_iterations)
-
-            # --- cost (residual form, psum over shards) ---
-            CX = jax.lax.psum(C_cols @ X_loc, sample_axis)  # (k, d)
-            resid = Z_loc_new @ (alpha[:, None] * CX) - X_loc
-            cost = jax.lax.psum(jnp.sum(resid * resid),
-                                sample_axis) * 0.5 / n_samples
-
-            return Z_loc_new, C_new, alpha, cost
+            return _aa_local_iterate(
+                X_loc, K_loc, Z_loc, C, alpha, delta=delta,
+                do_scale=do_scale, dict_kwargs=dict_kwargs,
+                weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
+                sample_axis=sample_axis)
 
         return jax.vmap(per_restart)(Zs_loc, Cs_loc, alphas_loc)
 
     return step(X, Zs, Cs, alphas)
+
+
+def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
+                   max_iterations=100, stopping_criterion='abs_delta_f',
+                   dictionary_solver_kwargs=None,
+                   weights_solver_kwargs=None,
+                   scale_factors_solver_kwargs=None,
+                   n_valid_restarts=None,
+                   restart_axis="restarts", sample_axis="samples"):
+    """Full sharded AA fit to convergence with cross-mesh keep-best.
+
+    Same state layout as :func:`sharded_aa_train_step`.  Each restart
+    runs the alternating loop until its ``stopping_criterion`` delta
+    falls below ``tolerance`` (converged restarts freeze while the rest
+    continue, as in the vmapped single-chip batch); the final selection
+    masks restarts with global index >= ``n_valid_restarts`` (padding
+    added for mesh divisibility) and broadcasts the winner.
+
+    Returns a dict with the best restart's ``weights`` (sharded over
+    samples), ``dictionary``, ``alpha``, ``cost``, ``n_iter``,
+    ``cost_deltas``, plus per-restart ``costs``/``n_iters`` (sharded
+    over restarts).  The mathematics per iteration matches the
+    single-device ``_kernel_aa_core``, so cost trajectories agree with
+    the unsharded fit up to reduction-order rounding.
+    """
+    n_restarts = Zs.shape[0]
+    if n_valid_restarts is None:
+        n_valid_restarts = n_restarts
+    do_scale = float(delta) != 0.0
+
+    dict_kwargs = _spg_cfg_to_quad_kwargs(
+        make_config(SPGSolverConfig, dictionary_solver_kwargs))
+    weights_kwargs = make_config(
+        QPSolverConfig, weights_solver_kwargs).kwargs()
+    scale_kwargs = _spg_cfg_to_quad_kwargs(
+        make_config(SPGSolverConfig, scale_factors_solver_kwargs))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(sample_axis, None),
+                  P(restart_axis, sample_axis, None),
+                  P(restart_axis, None, None),
+                  P(restart_axis, None)),
+        out_specs=(P(sample_axis, None),   # best Z (rows sharded)
+                   P(),                    # best C
+                   P(),                    # best alpha
+                   P(),                    # best cost
+                   P(),                    # best n_iter
+                   P(),                    # best cost-delta trace
+                   P(restart_axis),        # all costs
+                   P(restart_axis)),       # all n_iters
+        check_vma=False)
+    def fit(X_loc, Zs_loc, Cs_loc, alphas_loc):
+        X_full = jax.lax.all_gather(X_loc, sample_axis, tiled=True)
+        K_loc = X_loc @ X_full.T
+
+        def iterate(Z_loc, C, alpha):
+            return _aa_local_iterate(
+                X_loc, K_loc, Z_loc, C, alpha, delta=delta,
+                do_scale=do_scale, dict_kwargs=dict_kwargs,
+                weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
+                sample_axis=sample_axis)
+
+        cost0 = jax.vmap(
+            lambda Z, C, a: _aa_local_cost(X_loc, Z, C, a, sample_axis)
+        )(Zs_loc, Cs_loc, alphas_loc)
+
+        states, costs, trace, n_iters = _keep_best_loop(
+            (Zs_loc, Cs_loc, alphas_loc), cost0, iterate,
+            tolerance=tolerance, criterion=stopping_criterion,
+            max_iterations=max_iterations)
+
+        best, best_cost, best_n_iter, best_trace = _select_best(
+            states, costs, trace, n_iters, n_valid=n_valid_restarts,
+            restart_axis=restart_axis)
+        Z_best, C_best, alpha_best = best
+        return (Z_best, C_best, alpha_best, best_cost, best_n_iter,
+                best_trace, costs, n_iters)
+
+    (Z, C, alpha, cost, n_iter, trace, costs, n_iters) = fit(
+        X, Zs, Cs, alphas)
+    return {
+        'weights': Z,
+        'dictionary': alpha[:, None] * C if do_scale else C,
+        'alpha': alpha,
+        'cost': cost,
+        'n_iter': n_iter,
+        'cost_deltas': trace,
+        'costs': costs,
+        'n_iters': n_iters,
+    }
+
+
+def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
+                     max_iterations=100, stopping_criterion='abs_delta_f',
+                     weights_solver_kwargs=None, n_valid_restarts=None,
+                     restart_axis="restarts", sample_axis="samples"):
+    """Full sharded GPNH convex-coding fit with cross-mesh keep-best.
+
+    State layout: ``X`` (n, d) rows sharded over ``sample_axis``;
+    ``Zs`` (R, n, k) sharded over (restarts, samples); ``Ws`` (R, d, k)
+    sharded over restarts, replicated within a sample group.  Mirrors
+    the single-device ``_gpnh_core`` updates: exact k x k lstsq
+    dictionary solve on psum'd ``Z'Z``/``Z'X``, local per-row simplex-QP
+    weights, residual cost + GPNH penalty.
+    """
+    from ..models.gpnh_convex_coding import _gpnh_gram, gpnh_regularization
+
+    n_restarts = Zs.shape[0]
+    if n_valid_restarts is None:
+        n_valid_restarts = n_restarts
+    weights_kwargs = make_config(
+        QPSolverConfig, weights_solver_kwargs).kwargs()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(sample_axis, None),
+                  P(restart_axis, sample_axis, None),
+                  P(restart_axis, None, None)),
+        out_specs=(P(sample_axis, None),   # best Z
+                   P(),                    # best W
+                   P(),                    # best cost
+                   P(),                    # best n_iter
+                   P(),                    # best trace
+                   P(restart_axis),        # all costs
+                   P(restart_axis)),       # all n_iters
+        check_vma=False)
+    def fit(X_loc, Zs_loc, Ws_loc):
+        n_loc, d = X_loc.shape
+        k = Ws_loc.shape[2]
+        n_samples = jax.lax.psum(n_loc, sample_axis)
+        GW = _gpnh_gram(d, k, X_loc.dtype)
+
+        def penalty(W):
+            return jnp.where(lambda_W != 0,
+                             lambda_W * gpnh_regularization(W), 0.0)
+
+        def cost_of(Z_loc, W):
+            resid = Z_loc @ W.T - X_loc
+            return (jax.lax.psum(jnp.sum(resid * resid), sample_axis)
+                    * 0.5 / n_samples + penalty(W))
+
+        def iterate(Z_loc, W):
+            # dictionary: (Z'Z/n + lambda_W G_W) W' = Z'X/n, replicated
+            ZtZ = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
+            ZtX = jax.lax.psum(Z_loc.T @ X_loc, sample_axis)
+            lhs = ZtZ / n_samples + lambda_W * GW
+            W = jnp.linalg.lstsq(lhs, ZtX / n_samples)[0].T
+            # weights: local rows, replicated k x k Hessian
+            WtW = W.T @ W
+            Z_loc = quad_simplex_spg_batch(WtW, -(X_loc @ W), Z_loc,
+                                           **weights_kwargs)
+            return Z_loc, W, cost_of(Z_loc, W)
+
+        cost0 = jax.vmap(cost_of)(Zs_loc, Ws_loc)
+        states, costs, trace, n_iters = _keep_best_loop(
+            (Zs_loc, Ws_loc), cost0, iterate, tolerance=tolerance,
+            criterion=stopping_criterion, max_iterations=max_iterations)
+
+        best, best_cost, best_n_iter, best_trace = _select_best(
+            states, costs, trace, n_iters, n_valid=n_valid_restarts,
+            restart_axis=restart_axis)
+        Z_best, W_best = best
+        return (Z_best, W_best, best_cost, best_n_iter, best_trace,
+                costs, n_iters)
+
+    Z, W, cost, n_iter, trace, costs, n_iters = fit(X, Zs, Ws)
+    return {
+        'weights': Z,
+        'dictionary': W,
+        'cost': cost,
+        'n_iter': n_iter,
+        'cost_deltas': trace,
+        'costs': costs,
+        'n_iters': n_iters,
+    }
