@@ -313,16 +313,19 @@ def gpnh_analysis(training_data, validation_data, *, n_components, lambda_W,
         return model
 
     def fit_best(data, key):
-        if init in (None, 'random'):
+        if init in (None, 'random', 'furthest_sum'):
+            # Both driver inits run as one vmapped on-device batch
+            # (furthest_sum starts are vmapped over per-restart keys;
+            # parallel/restarts._gpnh_fit_batch).
             result = gpnh_fit_restarts(
                 data, n_components, key, n_init, lambda_W=lambda_W,
-                init='random', tolerance=tolerance,
+                init=init or 'random', tolerance=tolerance,
                 max_iterations=max_iterations,
                 stopping_criterion=stopping_criterion,
                 weights_solver_kwargs=weights_solver_kwargs)
             model = GPNHConvexCoding(
                 n_components=n_components, lambda_W=lambda_W,
-                init='random', tolerance=tolerance,
+                init=init or 'random', tolerance=tolerance,
                 max_iterations=max_iterations, random_state=key,
                 stopping_criterion=stopping_criterion,
                 require_monotonic_cost_decrease=False,
@@ -334,7 +337,7 @@ def gpnh_analysis(training_data, validation_data, *, n_components, lambda_W,
             model.cost_deltas = result['cost_deltas']
             model.avg_time_per_iter = 0.0
             return model
-        best = None
+        best = None  # custom init: host keep-best over estimator fits
         for _ in range(n_init):
             key, sub = jax.random.split(key)
             model = fit_once(data, sub)
@@ -486,6 +489,76 @@ def kmeans_analysis(training_data, validation_data, *, n_components,
         'elapsed_time': '{:16.8e}'.format(elapsed),
     })
     return model, onehot, attrs
+
+
+def pca_analysis(training_data, validation_data, *, n_components,
+                 tolerance=1e-8, random_seed=None, verbose=False):
+    """PCA/EOF fit + metrics (the reference's ``run_pca`` cell,
+    notebooks/hadisst_pca.ipynb: sklearn PCA on the weighted, flattened,
+    NaN-masked anomalies; EOFs + PCs + residuals + cost attrs).
+
+    ``training_data``/``validation_data`` are in valid-feature space.
+    Returns ``(result, attrs)`` where ``result`` holds ``pcs`` (full
+    sample axis, training then validation), ``eofs`` (k, n_valid),
+    ``means`` (n_valid,), ``residuals`` (full sample axis, n_valid),
+    ``explained_variance``, ``explained_variance_ratio``,
+    ``singular_values``.
+    """
+    from ..models.pca import PCA
+    del random_seed  # exact SVD; accepted for signature parity
+
+    n_train = training_data.shape[0]
+    n_val = 0 if validation_data is None else validation_data.shape[0]
+
+    start = time.perf_counter()
+    model = PCA(n_components=n_components, tol=tolerance)
+    pcs = np.asarray(model.fit_transform(training_data))
+    elapsed = time.perf_counter() - start
+
+    components = np.asarray(model.components_)
+    training_recon = pcs @ components
+    training_resid = training_data - training_recon
+    training_cost = 0.5 * float(np.sum(training_resid ** 2)) / n_train
+    training_rmse = rmse(training_data, training_recon)
+
+    full_pcs = np.full((n_train + n_val, n_components), np.nan)
+    full_pcs[:n_train] = pcs
+    full_resid = np.full((n_train + n_val, training_data.shape[1]), np.nan)
+    full_resid[:n_train] = training_resid
+
+    validation_cost = np.nan
+    validation_rmse = np.nan
+    if n_val:
+        validation_pcs = np.asarray(model.transform(validation_data))
+        validation_recon = validation_pcs @ components
+        validation_resid = validation_data - validation_recon
+        validation_cost = 0.5 * float(np.sum(validation_resid ** 2)) / n_val
+        validation_rmse = rmse(validation_data, validation_recon)
+        full_pcs[n_train:] = validation_pcs
+        full_resid[n_train:] = validation_resid
+
+    attrs = {
+        'training_set_cost': '{:16.8e}'.format(training_cost),
+        'training_set_size': '{:d}'.format(n_train),
+        'training_set_rmse': '{:16.8e}'.format(training_rmse),
+        'test_set_cost': '{:16.8e}'.format(validation_cost),
+        'test_set_size': '{:d}'.format(n_val),
+        'test_set_rmse': '{:16.8e}'.format(validation_rmse),
+        'noise_variance': '{:16.8e}'.format(model.noise_variance_),
+        'tolerance': '{:16.8e}'.format(tolerance),
+        'elapsed_time': '{:16.8e}'.format(elapsed),
+    }
+    result = {
+        'pcs': full_pcs,
+        'eofs': components,
+        'means': np.asarray(model.mean_),
+        'residuals': full_resid,
+        'explained_variance': np.asarray(model.explained_variance_),
+        'explained_variance_ratio':
+            np.asarray(model.explained_variance_ratio_),
+        'singular_values': np.asarray(model.singular_values_),
+    }
+    return result, attrs
 
 
 def build_output_dataset(*, weights, dictionary_over_samples, patterns,

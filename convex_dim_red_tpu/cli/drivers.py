@@ -15,9 +15,11 @@ import numpy as np
 from .common import (add_common_args, apply_platform,
                      validate_common_args, load_field,
                      aa_analysis, gpnh_analysis, kmeans_analysis,
-                     build_output_dataset)
+                     pca_analysis, build_output_dataset)
 from .specs import HADISST, JRA55_HGT, JRA55_PCS
+from ..pipelines.dataset import Dataset, Variable
 from ..pipelines.preprocess import (missing_feature_mask,
+                                    restore_missing_features,
                                     train_validation_split,
                                     weight_and_flatten)
 
@@ -232,6 +234,134 @@ def jra55_pca_gpnh_main(argv=None):
 
 
 # ---------------------------------------------------------------------------
+# PCA / EOF drivers
+# ---------------------------------------------------------------------------
+
+
+def _pca_main(spec, description, argv=None):
+    """PCA case-study driver: produces the EOFs + PCs netCDF product of
+    the reference's ``run_pca`` (notebooks/hadisst_pca.ipynb) — the
+    dataset the PC drivers and the pattern-correlation state sorting
+    consume.  Variable/attr schema matches the notebook's Dataset:
+    PCs, EOFs, means, residuals, explained_variance,
+    explained_variance_ratio, singular_values."""
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument('input_file', help='input data file')
+    parser.add_argument('output_file', help='name of output file')
+    parser.add_argument('--n-components', dest='n_components', type=int,
+                        default=2, help='number of components')
+    parser.add_argument('--lat-weights', dest='lat_weights',
+                        choices=['none', 'cos', 'scos'],
+                        default=spec.default_lat_weights,
+                        help='latitudinal weighting to apply')
+    parser.add_argument('--tolerance', dest='tolerance', type=float,
+                        default=1e-8,
+                        help='SVD tolerance (parity; the SVD is exact)')
+    parser.add_argument('--validation-frac', dest='validation_frac',
+                        type=float, default=spec.validation_frac,
+                        help='fraction of samples held out')
+    parser.add_argument('--random-seed', dest='random_seed', type=int,
+                        default=None, help='random seed')
+    parser.add_argument('--standardized', dest='standardized',
+                        action='store_true')
+    parser.add_argument('--restrict-to-base-period',
+                        dest='restrict_to_base_period',
+                        action='store_true')
+    parser.add_argument('--verbose', dest='verbose', action='store_true')
+    parser.add_argument('--platform', dest='platform', default=None,
+                        choices=['cpu', 'tpu', 'axon'])
+    args = parser.parse_args(argv)
+    if args.n_components < 1:
+        raise ValueError('Number of components must be at least 1')
+    apply_platform(args)
+
+    var_name = spec.var_name
+    if args.standardized and spec.std_var_name:
+        var_name = spec.std_var_name
+    field = load_field(
+        args.input_file, var_name, spec.time_name,
+        lat_name=spec.lat_name,
+        start_year=spec.start_year, end_year=spec.end_year,
+        min_latitude=spec.min_latitude, max_latitude=spec.max_latitude,
+        lat_weights=args.lat_weights,
+        restrict_to_base_period=args.restrict_to_base_period)
+
+    flat = weight_and_flatten(field['data'], field['weights'])
+    missing = missing_feature_mask(flat)
+    valid = flat[:, ~missing]
+    train, val, n_train = train_validation_split(
+        valid, validation_frac=args.validation_frac)
+
+    result, attrs = pca_analysis(
+        train, val, n_components=args.n_components,
+        tolerance=args.tolerance, random_seed=args.random_seed,
+        verbose=args.verbose)
+    attrs['lat_weights'] = args.lat_weights
+
+    ds = field['dataset']
+    k = args.n_components
+    feature_dims = list(field['feature_dims'])
+    feature_shape = list(field['feature_shape'])
+    n_samples = valid.shape[0]
+
+    def refill(values_2d, lead_shape):
+        full = restore_missing_features(np.asarray(values_2d), missing)
+        return full.reshape(lead_shape + feature_shape)
+
+    coords = {'component': Variable(('component',), np.arange(k))}
+    if field['time_values'] is not None:
+        time_attrs = (ds.coords[spec.time_name].attrs
+                      if spec.time_name in ds.coords else {})
+        coords[spec.time_name] = Variable(
+            (spec.time_name,), field['time_values'][:n_samples],
+            time_attrs)
+    for d in feature_dims:
+        if d in ds.coords:
+            coords[d] = ds.coords[d]
+
+    data_vars = {
+        'PCs': Variable((spec.time_name, 'component'), result['pcs']),
+        'EOFs': Variable(tuple(['component'] + feature_dims),
+                         refill(result['eofs'], [k])),
+        'means': Variable(tuple(feature_dims),
+                          refill(result['means'][None, :], [1])[0]),
+        'residuals': Variable(tuple([spec.time_name] + feature_dims),
+                              refill(result['residuals'], [n_samples])),
+        'explained_variance': Variable(('component',),
+                                       result['explained_variance']),
+        'explained_variance_ratio':
+            Variable(('component',), result['explained_variance_ratio']),
+        'singular_values': Variable(('component',),
+                                    result['singular_values']),
+    }
+    out = Dataset(data_vars, coords, attrs)
+    out.attrs['input_file'] = args.input_file
+    for key in ('base_period_start_year', 'base_period_end_year'):
+        if key in ds.attrs:
+            out.attrs[key] = str(ds.attrs[key])
+    if args.random_seed is not None:
+        out.attrs['random_seed'] = '{:d}'.format(args.random_seed)
+    out.to_netcdf(args.output_file)
+
+
+def hadisst_pca_main(argv=None):
+    """Mirror of the reference hadisst_pca notebook's ``run_pca`` on the
+    HadISST anomalies (notebooks/hadisst_pca.ipynb)."""
+    _pca_main(HADISST,
+              'Run PCA/EOF analysis on HadISST SST anomalies', argv=argv)
+
+
+def jra55_pca_main(argv=None):
+    """PCA of the gridded JRA-55 hgt500 anomalies, producing the PCs
+    netCDF consumed by the jra55_pca_{aa,gpnh,kmeans} drivers (the
+    reference's jra55 PCA notebook is a stripped large blob;
+    .MISSING_LARGE_BLOBS:1)."""
+    _pca_main(JRA55_HGT,
+              'Run PCA/EOF analysis on JRA-55 hgt500 anomalies',
+              argv=argv)
+
+
+# ---------------------------------------------------------------------------
 # k-means drivers
 # ---------------------------------------------------------------------------
 
@@ -311,7 +441,9 @@ DRIVERS = {
     'hadisst_aa': hadisst_aa_main,
     'hadisst_gpnh': hadisst_gpnh_main,
     'hadisst_kmeans': hadisst_kmeans_main,
+    'hadisst_pca': hadisst_pca_main,
     'jra55_kmeans': jra55_kmeans_main,
+    'jra55_pca': jra55_pca_main,
     'jra55_pca_aa': jra55_pca_aa_main,
     'jra55_pca_gpnh': jra55_pca_gpnh_main,
     'jra55_pca_kmeans': jra55_pca_kmeans_main,

@@ -59,16 +59,24 @@ class PCA:
     ``fit_transform`` / ``inverse_transform``, ``components_``,
     ``explained_variance_``, ``explained_variance_ratio_``, ``mean_``."""
 
-    def __init__(self, n_components, center=True, use_gram='auto'):
+    def __init__(self, n_components, center=True, use_gram='auto',
+                 tol=0.0, random_state=None):
         self.n_components = n_components
         self.center = center
         self.use_gram = use_gram
+        # Accepted for parity with the sklearn constructor the reference
+        # notebook calls (``PCA(n_components, tol=1e-8, random_state=rng)``,
+        # notebooks/hadisst_pca.ipynb run_pca cell); this implementation
+        # computes the exact SVD/eigh, so neither affects the result.
+        self.tol = tol
+        self.random_state = random_state
 
         self.components_ = None
         self.explained_variance_ = None
         self.explained_variance_ratio_ = None
         self.mean_ = None
         self.singular_values_ = None
+        self.noise_variance_ = None
 
     def fit(self, X):
         self.fit_transform(X)
@@ -92,6 +100,17 @@ class PCA:
         self.explained_variance_ratio_ = (
             self.explained_variance_ / total_var if total_var > 0
             else self.explained_variance_ * 0.0)
+
+        # sklearn semantics: mean variance of the discarded components
+        # (the reference notebook writes it as the ``noise_variance``
+        # netCDF attr, hadisst_pca.ipynb run_pca cell).
+        rank_bound = min(n_samples, n_features)
+        if self.n_components < rank_bound:
+            self.noise_variance_ = float(
+                (total_var - self.explained_variance_.sum())
+                / (rank_bound - self.n_components))
+        else:
+            self.noise_variance_ = 0.0
         return scores
 
     def transform(self, X):

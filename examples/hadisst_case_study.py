@@ -46,6 +46,7 @@ def main():
        "--base-period-end-year", "2010")
 
     for name, extra in [
+        ("hadisst_pca", ["--n-components", "4"]),
         ("hadisst_aa", ["--n-components", "4", "--n-init", "20",
                         "--delta", "0.0", "--tolerance", "1e-5",
                         "--max-iterations", "300"]),
@@ -60,36 +61,39 @@ def main():
            "--random-seed", "0", *extra)
 
     # ---- notebook-analog analysis --------------------------------------
-    from convex_dim_red_tpu.models.pca import PCA
     from convex_dim_red_tpu.pipelines.analysis import (
         pattern_correlation, sort_states, write_model_selection_csv)
     from convex_dim_red_tpu.pipelines.dataset import open_dataset
     from convex_dim_red_tpu.pipelines.preprocess import (
-        latitude_weights, missing_feature_mask, weight_and_flatten)
+        missing_feature_mask, weight_and_flatten)
 
-    # Same latitude band the drivers analyze (reference
-    # bin/run_hadisst_aa.py:32-34).
-    ds = open_dataset(anom).sel_range('latitude', -45.5, 45.5)
-    anomalies = ds['sst_anom'].data
-    weights = latitude_weights(ds.coords['latitude'].data, 'scos')
-    flat = weight_and_flatten(anomalies, weights[None, :, None])
-    missing = missing_feature_mask(flat)
-    valid = flat[:, ~missing]
-
-    # EOFs (the reference's hadisst_pca notebook).
-    pca = PCA(n_components=4)
-    pcs = pca.fit_transform(valid.astype(np.float32))
+    # EOFs from the hadisst_pca driver product (the reference's
+    # hadisst_pca notebook writes the same EOFs+PCs netCDF).
+    eofs_ds = open_dataset(os.path.join(out_dir, "hadisst_pca.nc"))
     print("EOF variance ratios:",
-          np.round(pca.explained_variance_ratio_, 3))
+          np.round(eofs_ds['explained_variance_ratio'].data, 3))
+    eof_grids = eofs_ds['EOFs'].data.reshape(4, -1)
+    eof_missing = ~np.isfinite(eof_grids).all(axis=0)
+    eof_patterns = eof_grids[:, ~eof_missing]
 
     # Pattern-correlation state sorting of the AA archetypes vs EOFs.
+    # The AA driver analyzed the same latitude band with the same scos
+    # weighting, so the valid-cell masks coincide.
     aa = open_dataset(os.path.join(out_dir, "hadisst_aa.nc"))
-    arch = aa['archetypes'].data.reshape(4, -1)[:, ~missing]
-    order, signs, corr = sort_states(arch, np.asarray(pca.components_))
+    arch = aa['archetypes'].data.reshape(4, -1)[:, ~eof_missing]
+    order, signs, corr = sort_states(arch, eof_patterns)
     print("state order vs EOFs:", order.tolist(),
           "signs:", signs.tolist())
 
-    # Model-selection table over k (cost from quick extra fits).
+    # Model-selection table over k (cost from quick extra fits) on the
+    # same weighted/masked matrix the drivers analyze (reference
+    # bin/run_hadisst_aa.py:32-34, :112-146).
+    from convex_dim_red_tpu.pipelines.preprocess import latitude_weights
+    ds = open_dataset(anom).sel_range('latitude', -45.5, 45.5)
+    weights = latitude_weights(ds.coords['latitude'].data, 'scos')
+    flat = weight_and_flatten(ds['sst_anom'].data, weights[None, :, None])
+    valid = flat[:, ~missing_feature_mask(flat)]
+
     from convex_dim_red_tpu.parallel.sweep import aa_model_selection_sweep
     import jax
     sweep = aa_model_selection_sweep(

@@ -321,6 +321,56 @@ def test_jra55_pca_gpnh_driver_end_to_end(synthetic_jra55, tmp_path):
     assert np.allclose(ds['weights'].data.sum(axis=1), 1.0, atol=1e-6)
 
 
+def test_hadisst_pca_driver_end_to_end(synthetic_anomalies, tmp_path):
+    # The run_pca product (reference notebooks/hadisst_pca.ipynb):
+    # EOFs + PCs + means + residuals + variance spectra + cost attrs.
+    ds = _run_driver("hadisst_pca", synthetic_anomalies, tmp_path,
+                     ["--n-components", "4", "--random-seed", "0"])
+    for var in ("PCs", "EOFs", "means", "residuals",
+                "explained_variance", "explained_variance_ratio",
+                "singular_values"):
+        assert var in ds, var
+    for attr in ('training_set_cost', 'training_set_size',
+                 'training_set_rmse', 'test_set_cost', 'test_set_size',
+                 'test_set_rmse', 'noise_variance', 'tolerance',
+                 'lat_weights', 'elapsed_time'):
+        assert attr in ds.attrs, attr
+    pcs = ds['PCs'].data
+    eofs = ds['EOFs'].data
+    assert pcs.shape[1] == 4 and eofs.shape[0] == 4
+    # PCs cover the full sample axis (validation rows via transform).
+    assert np.isfinite(pcs).all()
+    # EOF grid patterns: land NaN-refilled, ocean finite; valid-cell
+    # rows are orthonormal.
+    assert np.isnan(eofs).any() and np.isfinite(eofs).any()
+    flat = eofs.reshape(4, -1)
+    valid = flat[:, np.isfinite(flat).all(axis=0)]
+    assert np.allclose(valid @ valid.T, np.eye(4), atol=1e-6)
+    # Variance spectrum is sorted and the ratio is a fraction.
+    ev = ds['explained_variance'].data
+    assert (np.diff(ev) <= 1e-12).all()
+    assert 0 < ds['explained_variance_ratio'].data.sum() <= 1.0 + 1e-9
+
+
+def test_jra55_pca_feeds_pc_drivers(synthetic_jra55, tmp_path):
+    # End-to-end EOF path from gridded data: jra55_pca produces the PCs
+    # netCDF, jra55_pca_aa consumes it (the chain the reference runs
+    # through its jra55 PCA notebook + run_jra55_pca_aa.py).
+    grid, _ = synthetic_jra55
+    pcs_ds = _run_driver("jra55_pca", grid, tmp_path,
+                         ["--n-components", "6", "--random-seed", "0"])
+    assert 'PCs' in pcs_ds
+    assert pcs_ds['PCs'].dims[0] == 'initial_time0_hours'
+    pcs_path = str(tmp_path / "jra55_pca.nc")  # written by _run_driver
+    ds = _run_driver("jra55_pca_aa", pcs_path, tmp_path,
+                     ["--n-components", "2", "--n-init", "2",
+                      "--tolerance", "1e-4", "--max-iterations", "50",
+                      "--random-seed", "0"])
+    W = ds['weights'].data
+    assert np.allclose(W.sum(axis=1), 1.0, atol=1e-6)
+    assert ds['archetypes'].data.shape == (2, 6)
+
+
 def test_jra55_pca_kmeans_driver_end_to_end(synthetic_jra55, tmp_path):
     _, pcs = synthetic_jra55
     ds = _run_driver("jra55_pca_kmeans", pcs, tmp_path,
