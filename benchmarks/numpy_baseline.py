@@ -101,7 +101,6 @@ def aa_fit_numpy(X, n_components, rng, tolerance=1e-4, max_iterations=500,
     C /= C.sum(axis=1, keepdims=True)
     Z = rng.uniform(size=(n, n_components))
     Z /= Z.sum(axis=1, keepdims=True)
-    alpha = np.ones(n_components)
 
     CX = C @ X
     resid = Z @ CX - X

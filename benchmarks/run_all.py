@@ -28,9 +28,9 @@ enable_compilation_cache()
 
 import jax  # noqa: E402
 
-from convex_dim_red_tpu import (ArchetypalAnalysis, KMeans,  # noqa: E402
-                                GPNHConvexCoding, PCA, gap_statistic,
-                                aa_fit_restarts, gpnh_fit_restarts)
+from convex_dim_red_tpu import (KMeans, PCA,  # noqa: E402
+                                gap_statistic, aa_fit_restarts,
+                                gpnh_fit_restarts)
 from convex_dim_red_tpu.parallel.sweep import (  # noqa: E402
     aa_model_selection_sweep)
 

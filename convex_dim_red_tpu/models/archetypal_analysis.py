@@ -348,7 +348,8 @@ def iterate_kernel_aa(K, weights, dictionary, alpha, delta=0,
     fit divided by ``n_iter`` (includes compilation on first call for a
     given shape/config).
     """
-    if kwargs.get('stopping_criterion', 'abs_delta_f') not in STOPPING_CRITERIA:
+    if kwargs.get('stopping_criterion',
+                  'abs_delta_f') not in STOPPING_CRITERIA:
         raise ValueError("unsupported stopping criterion '%s'"
                          % kwargs['stopping_criterion'])
 

@@ -23,11 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["furthest_sum", "furthest_sum_device", "dissimilarities_from_kernel"]
+__all__ = ["furthest_sum", "furthest_sum_device",
+           "dissimilarities_from_kernel"]
 
 
 def dissimilarities_from_kernel(kernel):
-    """Pairwise distances ``d_ij = sqrt(K_ii - 2 K_ij + K_jj)`` from a Gram matrix.
+    """Pairwise distances ``d_ij = sqrt(K_ii - 2 K_ij + K_jj)`` from a
+    Gram matrix.
 
     Mirrors the dissimilarity construction used by the reference's
     furthest-sum dictionary init (archetypal_analysis.py:96-100), with a

@@ -18,7 +18,8 @@ __all__ = [
 
 def uniform_stochastic_matrix(key, shape, axis=0, dtype=jnp.float64):
     """Random matrix with unit sums along ``axis``."""
-    m = jax.random.uniform(key, shape, dtype=jax.dtypes.canonicalize_dtype(dtype))
+    m = jax.random.uniform(
+        key, shape, dtype=jax.dtypes.canonicalize_dtype(dtype))
     sums = jnp.sum(m, axis=axis, keepdims=True)
     return m / sums
 

@@ -139,7 +139,8 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         epsilon_one=1e-10, epsilon_two=1e-6,
         use_infinity_norm=True, verbose=0,
         max_iterations=10000, max_feval=1000000):
-    """Minimize ``f`` by projected gradient descent with nonmonotone line search.
+    """Minimize ``f`` by projected gradient descent with nonmonotone
+    line search.
 
     Parameters mirror the reference ``spg`` (spg.py:46-134).  ``f``,
     ``df`` and ``project`` must be JAX-traceable; ``x0`` may be a scalar
@@ -149,7 +150,8 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
     number of descent iterations executed.
     """
     x = jnp.asarray(x0)
-    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.result_type(float)
+    dtype = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+             else jnp.result_type(float))
     x = x.astype(dtype)
 
     if project is not None:

@@ -62,7 +62,7 @@ def main():
 
     # ---- notebook-analog analysis --------------------------------------
     from convex_dim_red_tpu.pipelines.analysis import (
-        pattern_correlation, sort_states, write_model_selection_csv)
+        sort_states, write_model_selection_csv)
     from convex_dim_red_tpu.pipelines.dataset import open_dataset
     from convex_dim_red_tpu.pipelines.preprocess import (
         missing_feature_mask, weight_and_flatten)

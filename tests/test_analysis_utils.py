@@ -145,6 +145,22 @@ def test_timer_and_block_and_time():
     assert sec >= 0 and np.allclose(np.asarray(result), 2.0)
 
 
+def test_profiler_trace_produces_trace_files(tmp_path):
+    """utils.profiling.trace must actually capture a device trace
+    (round-1 weakness: the context manager was never exercised)."""
+    from convex_dim_red_tpu.utils.profiling import trace
+
+    import jax.numpy as jnp
+    log_dir = tmp_path / "jax_trace"
+    with trace(str(log_dir)):
+        jax.block_until_ready(jax.jit(lambda x: x @ x.T)(
+            jnp.ones((32, 16))))
+    produced = [p for p in log_dir.rglob("*") if p.is_file()]
+    assert produced, "no trace files written by jax.profiler"
+    # The xplane protobuf is the artifact TensorBoard/xprof consumes.
+    assert any(p.name.endswith(".xplane.pb") for p in produced)
+
+
 def test_plotting_helpers_produce_figures(tmp_path):
     import matplotlib
     matplotlib.use("Agg")

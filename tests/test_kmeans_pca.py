@@ -5,7 +5,7 @@ import jax
 import pytest
 
 from convex_dim_red_tpu.models.kmeans import (
-    KMeans, gap_statistic, kmeans_fit, kmeans_plusplus)
+    KMeans, gap_statistic, kmeans_plusplus)
 from convex_dim_red_tpu.models.pca import PCA
 
 

@@ -3,7 +3,6 @@ the CPU test mesh; the real-TPU path is exercised by bench/verify
 runs)."""
 
 import numpy as np
-import jax
 import pytest
 
 from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas

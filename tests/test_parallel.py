@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from convex_dim_red_tpu.parallel.mesh import create_mesh, shard_batch
+from convex_dim_red_tpu.parallel.mesh import create_mesh
 from convex_dim_red_tpu.parallel.restarts import aa_fit_restarts
 from convex_dim_red_tpu.parallel.sharded_aa import (
     distributed_gram, sharded_aa_train_step)

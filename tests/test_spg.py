@@ -8,7 +8,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from convex_dim_red_tpu.ops.simplex_projection import (
-    simplex_project_rows, simplex_project_vector)
+    simplex_project_rows)
 from convex_dim_red_tpu.solvers.spg import (
     spg, quad_simplex_spg, quad_simplex_spg_batch)
 
