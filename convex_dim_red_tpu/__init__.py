@@ -18,6 +18,7 @@ from .ops.furthest_sum import furthest_sum, furthest_sum_device
 from .ops.simplex_projection import (
     simplex_project,
     simplex_project_columns,
+    simplex_project_masked,
     simplex_project_rows,
     simplex_project_vector,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "furthest_sum_device",
     "simplex_project",
     "simplex_project_columns",
+    "simplex_project_masked",
     "simplex_project_rows",
     "simplex_project_vector",
     "left_stochastic_matrix",

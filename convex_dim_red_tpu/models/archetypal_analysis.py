@@ -158,12 +158,17 @@ def update_kernel_aa_dictionary(K, dictionary, alpha, trace_K, KZ, ZtZ,
                     **_spg_cfg_to_quad_kwargs(cfg))
 
 
-def update_kernel_aa_weights(weights, alpha, CK, CKCt, **solver_kwargs):
+def update_kernel_aa_weights(weights, alpha, CK, CKCt,
+                             component_mask=None, **solver_kwargs):
     """Batched simplex-QP update of the weights.
 
     Parity with reference ``_update_kernel_aa_weights``
     (archetypal_analysis.py:369-396): per row ``t`` solve
     ``min 1/2 z' (D CKC' D) z - (D CK)[:, t]' z`` on the simplex.
+
+    ``component_mask`` (optional (k,) bool, runtime value) restricts
+    every row to the masked sub-simplex — padded components stay
+    exactly zero (see ``solvers.spg.quad_simplex_spg``).
     """
     cfg = make_config(QPSolverConfig, solver_kwargs)
     Z = jnp.asarray(weights)
@@ -174,7 +179,7 @@ def update_kernel_aa_weights(weights, alpha, CK, CKCt, **solver_kwargs):
     A = (alpha[:, None] * CKCt) * alpha[None, :]
     B = -(alpha[:, None] * CK).T
     return quad_simplex_spg_batch(A, B, Z, backend=cfg.backend,
-                                  **cfg.kwargs())
+                                  mask=component_mask, **cfg.kwargs())
 
 
 def update_kernel_aa_scale_factors(alpha, trace_K, CKZ, ZtZ, CKCt, delta,
@@ -208,11 +213,21 @@ def update_kernel_aa_scale_factors(alpha, trace_K, CKZ, ZtZ, CKCt, delta,
     static_argnames=('do_scale', 'do_dict', 'do_weights', 'criterion',
                      'max_iterations', 'require_monotonic', 'has_data',
                      'dict_cfg', 'weights_cfg', 'scale_cfg', 'verbose'))
-def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X, *,
+def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
+                    component_mask=None, *,
                     do_scale, do_dict, do_weights, criterion,
                     max_iterations, require_monotonic, has_data,
                     dict_cfg, weights_cfg, scale_cfg, verbose):
     """Whole alternating fit as one on-device while loop.
+
+    ``component_mask`` (optional (k,) bool, a runtime value) runs a
+    padded-``k`` fit: masked-out components are pinned to zero weight,
+    so the trajectory equals the unpadded fit with the same active
+    initialization exactly (padded dictionary rows receive zero
+    gradient because their weight columns are zero, and contribute
+    nothing to any cost term).  ``Z``'s padded columns must be zero on
+    entry.  This lets one compiled program serve a bucket of component
+    counts (see ``parallel.sweep.aa_model_selection_sweep``).
 
     When the data matrix ``X`` is available (``has_data``; the
     ``ArchetypalAnalysis`` path), the outer-loop cost is evaluated from
@@ -252,10 +267,15 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X, *,
     # forming K = XX' and the k x k contractions, which accumulates to
     # O(n * eps * tr(K)/n) = O(eps * tr(K)).  Below that resolution a
     # "cost increase" is not certifiable, so the watchdog threshold is
-    # floored there (float64: ~1e-13 * tr K, far below any practical
+    # floored there (float64: ~1e-14 * tr K, far below any practical
     # tolerance, preserving reference behavior; float32: the honest
-    # limit of the hardware).
-    watchdog_floor = 16.0 * float(jnp.finfo(K.dtype).eps) * trace_K
+    # limit of the hardware).  The multiplier is calibrated on real TPU
+    # hardware: once a float32 fit reaches its resolution, the
+    # alternating steps oscillate with per-stage increases measured up
+    # to 26 * eps * tr(K) — with BOTH the XLA and the Pallas weights
+    # backends, so it is solver noise, not a kernel bug; 64 gives 2.5x
+    # headroom while staying far below any genuine divergence.
+    watchdog_floor = 64.0 * float(jnp.finfo(K.dtype).eps) * trace_K
     watchdog_thresh = jnp.maximum(tolerance, watchdog_floor)
 
     def increased(old, new):
@@ -292,8 +312,11 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X, *,
                 inc_flags[1] | increased(old_cost, new_cost))
 
         if do_weights:
+            # backend is excluded from kwargs() and must be re-threaded
+            # explicitly or the Pallas routing silently degrades to XLA.
             Z = update_kernel_aa_weights(
-                Z, alpha, CK, CKCt, **weights_cfg.kwargs())
+                Z, alpha, CK, CKCt, component_mask=component_mask,
+                backend=weights_cfg.backend, **weights_cfg.kwargs())
             ZtZ = Z.T @ Z
             KZ = K @ Z
             CKZ = C @ KZ
@@ -733,6 +756,7 @@ class ArchetypalAnalysis:
             self._kernel_model.weights_solver_kwargs) or None)
         # Reference uses the estimator-level max_iterations for transform.
         cfg_kwargs = cfg.kwargs()
+        cfg_kwargs['backend'] = cfg.backend
         cfg_kwargs['max_iterations'] = int(self.max_iterations)
 
         archetypes = jnp.asarray(self.archetypes)

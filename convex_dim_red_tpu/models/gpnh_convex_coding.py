@@ -187,7 +187,11 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
             inc = inc.at[0].set(inc[0] | increased(old_cost, new_cost))
 
         if do_weights:
-            Z = update_gpnh_weights(X, Z, W, **weights_cfg.kwargs())
+            # backend excluded from kwargs(); re-thread it or the
+            # Pallas routing silently degrades to XLA.
+            Z = update_gpnh_weights(X, Z, W,
+                                    backend=weights_cfg.backend,
+                                    **weights_cfg.kwargs())
             ZtZ = Z.T @ Z
             WtW = W.T @ W
             WtXtZ_tr = jnp.sum((X @ W).astype(sdt) * Z.astype(sdt))

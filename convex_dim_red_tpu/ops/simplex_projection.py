@@ -23,6 +23,7 @@ __all__ = [
     "simplex_project_vector",
     "simplex_project_rows",
     "simplex_project_columns",
+    "simplex_project_masked",
 ]
 
 
@@ -54,6 +55,28 @@ def simplex_project(x, axis=-1):
     tau = (css_rho - 1.0) / rho.astype(x.dtype)
 
     return jnp.maximum(x - tau, 0.0)
+
+
+def simplex_project_masked(x, mask, axis=-1):
+    """Project onto the sub-simplex with masked-out coordinates pinned
+    to zero: ``{p : p >= 0, sum(p) = 1, p_i = 0 for ~mask_i}``.
+
+    Exact reduction to :func:`simplex_project`: masked entries are
+    replaced by the per-slice sentinel ``-(2*max|x_active| + 2)``, which
+    is provably below the projection threshold ``tau`` of the active
+    entries (``tau >= -max|x_active| - 1``) and never enters the
+    active-set count, so the result on active coordinates equals the
+    projection of the active subvector onto its own simplex.  This is
+    the primitive that lets one compiled program serve a *bucket* of
+    component counts: pad ``k`` to a bucket size and pass a runtime
+    mask (see ``parallel.restarts.aa_fit_restarts(pad_components_to)``).
+    """
+    x = jnp.asarray(x)
+    mask = jnp.asarray(mask, bool)
+    scale = jnp.max(jnp.abs(jnp.where(mask, x, 0)), axis=axis,
+                    keepdims=True)
+    sentinel = (-(2.0 * scale + 2.0)).astype(x.dtype)
+    return simplex_project(jnp.where(mask, x, sentinel), axis=axis)
 
 
 def simplex_project_vector(x):

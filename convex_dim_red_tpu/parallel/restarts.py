@@ -44,6 +44,14 @@ def select_best(costs, state):
     return jax.tree_util.tree_map(lambda leaf: leaf[best], state)
 
 
+def _padded_components(n_components, pad_components_to):
+    """Resolve the padded component count and its runtime mask."""
+    if pad_components_to is None or int(pad_components_to) <= n_components:
+        return n_components, None
+    k_pad = int(pad_components_to)
+    return k_pad, jnp.arange(k_pad) < n_components
+
+
 def _pad_keys(keys, axis_size):
     """Pad the key batch to a multiple of the mesh restart axis; padded
     restarts run but are masked out of the keep-best selection."""
@@ -59,10 +67,20 @@ def _pad_keys(keys, axis_size):
 # ---------------------------------------------------------------------------
 
 
-def _aa_fit_batch(X, K, diss, keys, delta, tolerance, *, n_components,
-                  init, max_iterations, n_extra_steps, criterion, do_scale,
-                  has_data, dict_cfg, weights_cfg, scale_cfg):
-    """Vmapped batch of independent kernel-AA fits (stacked outputs)."""
+def _aa_fit_batch(X, K, diss, keys, delta, tolerance, component_mask,
+                  *, n_components, init, max_iterations, n_extra_steps,
+                  criterion, do_scale, has_data, dict_cfg, weights_cfg,
+                  scale_cfg):
+    """Vmapped batch of independent kernel-AA fits (stacked outputs).
+
+    ``component_mask`` (runtime (n_components,) bool or None) runs
+    padded-``k`` fits: masked-out components get zero initial weight
+    and are pinned at zero by the masked weights QP, so each fit is
+    exactly a ``sum(mask)``-component model (padded dictionary rows are
+    frozen — zero gradient; see ``_kernel_aa_core``).  The mask being a
+    runtime value is the point: one compiled program per *bucket* of
+    component counts instead of one per ``k``.
+    """
     n_samples = K.shape[0]
     dtype = K.dtype
 
@@ -76,8 +94,14 @@ def _aa_fit_batch(X, K, diss, keys, delta, tolerance, *, n_components,
         else:
             C = right_stochastic_matrix(
                 k_dict, (n_components, n_samples), dtype=dtype)
-        Z = right_stochastic_matrix(
-            k_weights, (n_samples, n_components), dtype=dtype)
+        if component_mask is None:
+            Z = right_stochastic_matrix(
+                k_weights, (n_samples, n_components), dtype=dtype)
+        else:
+            u = jax.random.uniform(
+                k_weights, (n_samples, n_components), dtype=dtype)
+            u = u * component_mask.astype(dtype)
+            Z = u / jnp.sum(u, axis=1, keepdims=True)
         if do_scale:
             alpha = jax.random.uniform(
                 k_alpha, (n_components,), dtype=dtype,
@@ -86,7 +110,7 @@ def _aa_fit_batch(X, K, diss, keys, delta, tolerance, *, n_components,
             alpha = jnp.ones((n_components,), dtype=dtype)
 
         Z, C, alpha, cost, n_iter, trace, _ = _kernel_aa_core(
-            K, Z, C, alpha, delta, tolerance, X,
+            K, Z, C, alpha, delta, tolerance, X, component_mask,
             do_scale=do_scale, do_dict=True, do_weights=True,
             criterion=criterion, max_iterations=max_iterations,
             require_monotonic=False, has_data=has_data,
@@ -134,25 +158,26 @@ def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
 
     if mesh is None:
         @jax.jit
-        def run(X, keys, delta, tolerance):
+        def run(X, keys, delta, tolerance, component_mask=None):
             K, diss, data = prepare(X)
             out = _aa_fit_batch(data, K, diss, keys, delta, tolerance,
-                                **statics)
+                                component_mask, **statics)
             return local_best(*out)
         return run
 
     @jax.jit
-    def run(X, keys, delta, tolerance):
+    def run(X, keys, delta, tolerance, component_mask=None):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(restart_axis, None), P(), P()),
+            in_specs=(P(), P(restart_axis, None), P(), P(), P()),
             out_specs=(P(), P(), P(), P(),
                        P(restart_axis), P(restart_axis), P(), P()),
             check_vma=False)
-        def shard_fit(X, keys_loc, delta, tolerance):
+        def shard_fit(X, keys_loc, delta, tolerance, component_mask):
             K, diss, data = prepare(X)
             Zs, Cs, alphas, costs, n_iters, traces = _aa_fit_batch(
-                data, K, diss, keys_loc, delta, tolerance, **statics)
+                data, K, diss, keys_loc, delta, tolerance,
+                component_mask, **statics)
             best, best_cost, best_n_iter, best_trace = _select_best(
                 (Zs, Cs, alphas), costs, traces, n_iters,
                 n_valid=n_valid, restart_axis=restart_axis)
@@ -160,13 +185,13 @@ def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
             return (Z, C, alpha, best_trace, costs, n_iters,
                     best_cost, best_n_iter)
 
-        return shard_fit(X, keys, delta, tolerance)
+        return shard_fit(X, keys, delta, tolerance, component_mask)
 
     return run
 
 
 def _keep_best_over_chunks(run, X, keys, delta, tolerance, chunk_size,
-                           mesh_axis_size):
+                           mesh_axis_size, component_mask=None):
     """Drive ``run`` over restart-key chunks, keeping the best state.
 
     ``restart_chunk`` bounds how many restarts run in one device
@@ -190,7 +215,8 @@ def _keep_best_over_chunks(run, X, keys, delta, tolerance, chunk_size,
         n_valid = chunk.shape[0]
         if mesh_axis_size > 1:
             chunk, n_valid = _pad_keys(chunk, mesh_axis_size)
-        out = run(chunk.shape[0], n_valid)(X, chunk, delta, tolerance)
+        out = run(chunk.shape[0], n_valid)(X, chunk, delta, tolerance,
+                                           component_mask)
         Z, C, alpha, trace, costs, n_iters, best_cost, best_n_iter = out
         all_costs.append(np.asarray(costs)[:n_valid])
         all_n_iters.append(np.asarray(n_iters)[:n_valid])
@@ -210,7 +236,7 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
                     weights_solver_kwargs=None,
                     scale_factors_solver_kwargs=None,
                     mesh=None, restart_axis='restarts',
-                    restart_chunk=None):
+                    restart_chunk=None, pad_components_to=None):
     """Best-of-``n_init`` archetypal analysis, fully on device.
 
     ``data``: (n_samples, n_features) matrix.  Returns a dict with the
@@ -219,6 +245,16 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     restarts.  With ``mesh`` given, the restart batch runs under
     ``shard_map`` over ``restart_axis`` (structurally partitioned; see
     module docstring).
+
+    ``pad_components_to`` runs the fit padded to that component count
+    with a runtime mask pinning the extra components to zero weight —
+    the result is exactly an ``n_components`` model, but every ``k``
+    sharing a pad size reuses one compiled program (kills the per-``k``
+    recompile in model-selection sweeps; see
+    ``parallel.sweep.aa_model_selection_sweep``).  With
+    ``init='furthest_sum'`` the ``extra_steps`` refinement sees the
+    padded count, so the selected seeds may differ from an unpadded
+    run (still a valid FurthestSum init of the active components).
     """
     X = jnp.asarray(data)
 
@@ -230,10 +266,13 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     do_scale = float(delta) != 0.0
     axis_size = 1 if mesh is None else mesh.shape[restart_axis]
 
+    k_out = int(n_components)
+    k_fit, component_mask = _padded_components(k_out, pad_components_to)
+
     def runner(n_keys, n_valid):
         return _make_aa_run(
             mesh, restart_axis, n_valid if mesh is not None else n_keys,
-            n_components=int(n_components), init=init,
+            n_components=k_fit, init=init,
             max_iterations=int(max_iterations),
             n_extra_steps=int(n_extra_steps),
             criterion=stopping_criterion, do_scale=do_scale,
@@ -242,9 +281,12 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
 
     best, costs, n_iters = _keep_best_over_chunks(
         runner, X, keys, jnp.asarray(delta, X.dtype),
-        jnp.asarray(tolerance, X.dtype), restart_chunk, axis_size)
+        jnp.asarray(tolerance, X.dtype), restart_chunk, axis_size,
+        component_mask=component_mask)
 
     Z, C, alpha, trace, best_cost, n_iter_best = best
+    if component_mask is not None:
+        Z, C, alpha = Z[:, :k_out], C[:k_out], alpha[:k_out]
     cost_deltas = np.asarray(trace)[:n_iter_best]
     dictionary = alpha[:, None] * C if do_scale else C
     archetypes = dictionary @ X

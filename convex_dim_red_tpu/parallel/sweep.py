@@ -1,10 +1,21 @@
 """Model-selection sweeps: k = 2..K x N restarts, sharded over a mesh.
 
 The stretch benchmark config (BASELINE.md config 5): batched
-multi-restart AA/GPNH sweeps across component counts.  Each ``k`` is a
-separate XLA program (shapes differ), but within a ``k`` all restarts
-run as one sharded on-device batch; results aggregate into the
-model-selection table the analysis notebooks consume.
+multi-restart AA/GPNH sweeps across component counts.  Within a ``k``
+all restarts run as one sharded on-device batch; across ``k`` the AA
+sweep pads component counts to bucket sizes (``component_bucket``)
+with a runtime mask pinning padded components to zero weight, so a
+whole bucket of ``k`` values reuses ONE compiled program instead of
+recompiling per shape (a sweep k=2..20 collapses from 7 programs to
+2-3; each padded fit is exactly a ``k``-component model — see
+``restarts.aa_fit_restarts(pad_components_to)``).  Results aggregate
+into the model-selection table the analysis notebooks consume.
+
+K-means sweeps cannot bucket this way (the padded-centroid analog
+changes Lloyd assignments), and GPNH cannot either: its pairwise
+dictionary-distance penalty averages over *all* columns
+(gpnh_convex_coding.py penalty; reference :179-196), so padded columns
+would change the objective.
 """
 
 import time
@@ -23,21 +34,33 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
                              stopping_criterion='rel_delta_f',
                              max_iterations=500, mesh=None,
                              validation_data=None, restart_chunk=10,
-                             **solver_kwargs):
+                             component_bucket=8, **solver_kwargs):
     """Fit AA for every k in ``ks`` with ``n_init`` sharded restarts.
+
+    ``component_bucket`` rounds each ``k`` up to the next multiple of
+    the bucket size for compilation (padded components are masked to
+    exact zeros, so results are true ``k``-component fits); every ``k``
+    in a bucket shares one compiled program.  Set it to ``None``/``0``
+    to compile per ``k``.
 
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', ...}}`` suitable
     for :func:`pipelines.analysis.model_selection_table`.
     """
     results = {}
     for k in ks:
+        k = int(k)
+        pad_to = None
+        if component_bucket:
+            bucket = int(component_bucket)
+            pad_to = -(-k // bucket) * bucket
         key, sub = jax.random.split(key)
         start = time.perf_counter()
         fit = aa_fit_restarts(
-            data, int(k), sub, n_init, delta=delta, init=init,
+            data, k, sub, n_init, delta=delta, init=init,
             tolerance=tolerance, stopping_criterion=stopping_criterion,
             max_iterations=max_iterations, mesh=mesh,
-            restart_chunk=restart_chunk, **solver_kwargs)
+            restart_chunk=restart_chunk, pad_components_to=pad_to,
+            **solver_kwargs)
         elapsed = time.perf_counter() - start
 
         recon = np.asarray(fit['weights'] @ fit['archetypes'])

@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.simplex_projection import simplex_project_vector
+from ..ops.simplex_projection import (simplex_project_masked,
+                                      simplex_project_vector)
 
 __all__ = [
     "spg",
@@ -379,7 +380,7 @@ def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
                      sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
                      alpha0=-1.0, alpha_min=1e-5, alpha_max=1e3,
                      epsilon_one=1e-10, epsilon_two=1e-6,
-                     max_iterations=1000, max_feval=2000):
+                     max_iterations=1000, max_feval=2000, mask=None):
     """Solve ``min 1/2 x'Ax + b'x`` over the standard simplex.
 
     Same problem, stopping criteria, and BB-step safeguards as the
@@ -405,19 +406,30 @@ def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
     The first-iteration step size and the dual-norm convergence test
     mirror the reference.  Jittable; designed to be ``vmap``ed over rows
     (see :func:`quad_simplex_spg_batch`).
+
+    ``mask`` (optional boolean (k,) array, a *runtime* value) restricts
+    the feasible set to the sub-simplex with masked-out coordinates
+    pinned at zero (:func:`ops.simplex_projection.simplex_project_masked`)
+    — the primitive behind padded-``k`` program bucketing.
     """
     del gamma, memory, sigma_one, sigma_two, lambda_min  # parity only
 
     A = jnp.asarray(A)
     b = jnp.asarray(b)
+    if mask is None:
+        project = simplex_project_vector
+    else:
+        mask = jnp.asarray(mask, bool)
+        project = lambda x: simplex_project_masked(x, mask)
     return quad_spg(
-        lambda x: A @ x, -b, x0, simplex_project_vector,
+        lambda x: A @ x, -b, x0, project,
         alpha0=alpha0, alpha_min=alpha_min, alpha_max=alpha_max,
         epsilon_one=epsilon_one, epsilon_two=epsilon_two,
         max_iterations=min(max_iterations, max_feval))
 
 
-def quad_simplex_spg_batch(A, B, X0, backend="xla", **solver_kwargs):
+def quad_simplex_spg_batch(A, B, X0, backend="xla", mask=None,
+                           **solver_kwargs):
     """Solve ``n`` simplex QPs sharing the Hessian ``A`` in lockstep.
 
     ``A``: (k, k) shared Hessian; ``B``: (n, k) per-row linear terms;
@@ -432,8 +444,12 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", **solver_kwargs):
     ``backend='pallas'`` routes to the fused VMEM-resident TPU kernel
     (ops/pallas_qp.py): the whole solve runs in one ``pallas_call`` with
     per-block early exit (TPU only; cannot be nested under ``vmap``).
+
+    ``mask`` (shared across rows) restricts every row's QP to the
+    masked sub-simplex; the Pallas kernel does not implement masking,
+    so a masked solve always takes the XLA path.
     """
-    if backend == "pallas":
+    if backend == "pallas" and mask is None:
         from ..ops.pallas_qp import (quad_simplex_qp_pallas,
                                      quad_simplex_qp_pallas_packed)
         keep = {k: v for k, v in solver_kwargs.items()
@@ -443,5 +459,6 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", **solver_kwargs):
         if jnp.shape(B)[1] <= 64:
             return quad_simplex_qp_pallas_packed(A, B, X0, **keep)
         return quad_simplex_qp_pallas(A, B, X0, **keep)
-    solve = lambda b, x0: quad_simplex_spg(A, b, x0, **solver_kwargs)
+    solve = lambda b, x0: quad_simplex_spg(A, b, x0, mask=mask,
+                                           **solver_kwargs)
     return jax.vmap(solve)(B, X0)
