@@ -128,6 +128,29 @@ def config5_sweep():
                               for k, v in results.items()}}
 
 
+def _attach_measured_baselines(report):
+    """Merge measured end-to-end NumPy baseline times (written by
+    benchmarks/measure_baselines.py) as ``vs_baseline_measured``."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "baselines_measured.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        baselines = json.load(f)
+    for name in ("config1", "config2", "config4"):
+        entry = report.get(name)
+        base = baselines.get(name)
+        if not (isinstance(entry, dict) and base
+                and "seconds" in entry):
+            continue
+        entry["baseline_seconds_measured"] = round(base["seconds"], 2)
+        entry["vs_baseline_measured"] = round(
+            base["seconds"] / entry["seconds"], 2)
+        for key in ("cost", "inertia"):
+            if key in base:
+                entry["baseline_" + key] = base[key]
+
+
 def main():
     report = {"device": str(jax.devices()[0])}
     for name, fn in [("config1", config1_synthetic_aa),
@@ -140,6 +163,7 @@ def main():
         except Exception as exc:  # keep the suite running
             report[name] = {"error": repr(exc)}
         print(json.dumps({name: report[name]}), flush=True)
+    _attach_measured_baselines(report)
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")
