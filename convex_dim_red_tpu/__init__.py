@@ -22,6 +22,7 @@ from .ops.simplex_projection import (
     simplex_project_rows,
     simplex_project_vector,
 )
+from .utils.precision import get_matmul_precision, set_matmul_precision
 from .ops.stochastic_matrices import (
     left_stochastic_matrix,
     right_stochastic_matrix,
@@ -47,6 +48,8 @@ __all__ = [
     "simplex_project_masked",
     "simplex_project_rows",
     "simplex_project_vector",
+    "get_matmul_precision",
+    "set_matmul_precision",
     "left_stochastic_matrix",
     "right_stochastic_matrix",
     "spg",

@@ -55,6 +55,7 @@ from ..ops.furthest_sum import furthest_sum, dissimilarities_from_kernel
 from ..ops.simplex_projection import simplex_project_rows
 from ..ops.stochastic_matrices import right_stochastic_matrix
 from ..solvers.spg import quad_spg, quad_simplex_spg_batch
+from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_stochastic_matrix
 from ._common import (QPSolverConfig, SPGSolverConfig, make_config,
                       STOPPING_CRITERIA, has_converged)
@@ -208,6 +209,7 @@ def update_kernel_aa_scale_factors(alpha, trace_K, CKZ, ZtZ, CKCt, delta,
                     **_spg_cfg_to_quad_kwargs(cfg))
 
 
+@apply_matmul_precision
 @functools.partial(
     jax.jit,
     static_argnames=('do_scale', 'do_dict', 'do_weights', 'criterion',
@@ -270,11 +272,14 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
     # floored there (float64: ~1e-14 * tr K, far below any practical
     # tolerance, preserving reference behavior; float32: the honest
     # limit of the hardware).  The multiplier is calibrated on real TPU
-    # hardware: once a float32 fit reaches its resolution, the
-    # alternating steps oscillate with per-stage increases measured up
-    # to 26 * eps * tr(K) — with BOTH the XLA and the Pallas weights
-    # backends, so it is solver noise, not a kernel bug; 64 gives 2.5x
-    # headroom while staying far below any genuine divergence.
+    # hardware: under reduced matmul precision (the 'bfloat16' policy a
+    # user can opt into via set_matmul_precision; also JAX's DEFAULT),
+    # a float32 fit at its resolution floor oscillates with per-stage
+    # increases measured up to 26 * eps_f32 * tr(K) — with BOTH the XLA
+    # and the Pallas weights backends, so it is contraction noise, not
+    # a kernel bug; 64 gives 2.5x headroom while staying far below any
+    # genuine divergence.  (At the 'float32' default policy the fit is
+    # strictly monotone and never approaches the floor.)
     watchdog_floor = 64.0 * float(jnp.finfo(K.dtype).eps) * trace_K
     watchdog_thresh = jnp.maximum(tolerance, watchdog_floor)
 
@@ -717,7 +722,8 @@ class ArchetypalAnalysis:
             self.n_components = data.shape[1]
             self._kernel_model.n_components = data.shape[1]
 
-        kernel = data @ data.T
+        with matmul_precision_scope():
+            kernel = data @ data.T
 
         self._kernel_model.fit_transform(
             kernel, dictionary=dictionary, weights=weights, alpha=alpha,
@@ -760,17 +766,16 @@ class ArchetypalAnalysis:
         cfg_kwargs['max_iterations'] = int(self.max_iterations)
 
         archetypes = jnp.asarray(self.archetypes)
-        A = archetypes @ archetypes.T
-        B = -(data @ archetypes.T)
-
         Z0 = right_stochastic_matrix(
             self._kernel_model._next_key(),
             (n_samples, self.n_components), dtype=data.dtype)
 
-        weights = quad_simplex_spg_batch(A, B, Z0, **cfg_kwargs)
-        self.weights = weights
-
-        resid = data - weights @ archetypes
+        with matmul_precision_scope():
+            A = archetypes @ archetypes.T
+            B = -(data @ archetypes.T)
+            weights = quad_simplex_spg_batch(A, B, Z0, **cfg_kwargs)
+            self.weights = weights
+            resid = data - weights @ archetypes
         cost = 0.5 * float(jnp.sum(resid * resid)) / n_samples
         return weights, cost
 

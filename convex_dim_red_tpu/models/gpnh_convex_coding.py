@@ -32,6 +32,7 @@ import numpy as np
 from ..ops.furthest_sum import furthest_sum, dissimilarities_from_kernel
 from ..ops.stochastic_matrices import right_stochastic_matrix
 from ..solvers.spg import quad_simplex_spg_batch
+from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_unit_axis_sums
 from ._common import (QPSolverConfig, make_config, STOPPING_CRITERIA,
                       has_converged)
@@ -133,6 +134,7 @@ def update_gpnh_weights(X, weights, dictionary, **solver_kwargs):
                                   backend=cfg.backend, **cfg.kwargs())
 
 
+@apply_matmul_precision
 @functools.partial(
     jax.jit,
     static_argnames=('do_dict', 'do_weights', 'criterion', 'max_iterations',
@@ -303,8 +305,9 @@ def initialize_gpnh_dictionary(data, n_components, init='random', key=None,
         exclude = kwargs.get('exclude')
         if start_index is None:
             start_index = int(jax.random.randint(key, (), 0, n_samples))
-        kernel = data @ data.T
-        diss = np.asarray(dissimilarities_from_kernel(kernel))
+        with matmul_precision_scope():
+            kernel = data @ data.T
+            diss = np.asarray(dissimilarities_from_kernel(kernel))
         selected = furthest_sum(diss, n_components, start_index,
                                 exclude, n_extra_steps)
         return jnp.asarray(np.asarray(data)[np.asarray(selected)].T)

@@ -18,10 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.precision import apply_matmul_precision
+
 __all__ = ["KMeans", "kmeans_fit", "kmeans_plusplus", "random_init",
            "gap_statistic"]
 
 
+@apply_matmul_precision
 def _sq_dists(X, centroids):
     """Squared Euclidean distances (n, k) via one MXU matmul."""
     x2 = jnp.sum(X * X, axis=1, keepdims=True)
@@ -102,6 +105,7 @@ def random_init(X, n_clusters, key):
     return X[idx]
 
 
+@apply_matmul_precision
 @functools.partial(jax.jit, static_argnames=('n_clusters', 'n_init',
                                              'max_iter', 'init'))
 def kmeans_fit(X, key, *, n_clusters, n_init=10, max_iter=300, tol=1e-4,
@@ -194,6 +198,7 @@ class KMeans:
 # ---------------------------------------------------------------------------
 
 
+@apply_matmul_precision
 @functools.partial(jax.jit, static_argnames=('n_clusters', 'n_trials',
                                              'n_init', 'max_iter'))
 def _uniform_reference_wks(X, key, *, n_clusters, n_trials, n_init=10,
@@ -229,6 +234,7 @@ def _kmeans_fit_inline(X, key, n_clusters, n_init, max_iter, tol=1e-4):
     return centroids[best], labels[best], inertias[best], n_iters[best]
 
 
+@apply_matmul_precision
 @functools.partial(jax.jit, static_argnames=('n_clusters', 'n_trials',
                                              'n_svd', 'n_init', 'max_iter'))
 def _pca_reference_wks(X, key, *, n_clusters, n_trials, n_svd,

@@ -15,9 +15,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.precision import apply_matmul_precision
+
 __all__ = ["PCA", "pca_fit"]
 
 
+@apply_matmul_precision
 @functools.partial(jax.jit, static_argnames=('n_components', 'center',
                                              'use_gram'))
 def pca_fit(X, *, n_components, center=True, use_gram=False):
@@ -113,9 +116,11 @@ class PCA:
             self.noise_variance_ = 0.0
         return scores
 
+    @apply_matmul_precision
     def transform(self, X):
         Xc = jnp.asarray(X) - self.mean_[None, :]
         return Xc @ self.components_.T
 
+    @apply_matmul_precision
     def inverse_transform(self, scores):
         return jnp.asarray(scores) @ self.components_ + self.mean_[None, :]

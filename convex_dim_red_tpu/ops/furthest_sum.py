@@ -23,10 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.precision import apply_matmul_precision
+
 __all__ = ["furthest_sum", "furthest_sum_device",
            "dissimilarities_from_kernel"]
 
 
+@apply_matmul_precision
 def dissimilarities_from_kernel(kernel):
     """Pairwise distances ``d_ij = sqrt(K_ii - 2 K_ij + K_jj)`` from a
     Gram matrix.
@@ -123,6 +126,7 @@ def furthest_sum(dissimilarity_matrix, n_components, start_index,
     return selected
 
 
+@apply_matmul_precision
 def furthest_sum_device(dissimilarities, n_components, start_index,
                         extra_steps=10, exclude_mask=None):
     """Jittable FurthestSum on a precomputed dissimilarity matrix.

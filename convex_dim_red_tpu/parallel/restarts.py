@@ -32,6 +32,7 @@ from ..models.archetypal_analysis import _kernel_aa_core
 from ..ops.furthest_sum import furthest_sum_device, \
     dissimilarities_from_kernel
 from ..ops.stochastic_matrices import right_stochastic_matrix
+from ..utils.precision import apply_matmul_precision
 from .sharded_aa import _select_best
 
 __all__ = ["aa_fit_restarts", "kernel_aa_fit_restarts",
@@ -157,6 +158,7 @@ def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
                 costs, n_iters, costs[best], n_iters[best])
 
     if mesh is None:
+        @apply_matmul_precision
         @jax.jit
         def run(X, keys, delta, tolerance, component_mask=None):
             K, diss, data = prepare(X)
@@ -165,6 +167,7 @@ def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
             return local_best(*out)
         return run
 
+    @apply_matmul_precision
     @jax.jit
     def run(X, keys, delta, tolerance, component_mask=None):
         @functools.partial(
@@ -417,6 +420,7 @@ def _make_gpnh_run(mesh, restart_axis, n_valid, *, n_components, init,
                 costs[best], n_iters[best])
 
     if mesh is None:
+        @apply_matmul_precision
         @jax.jit
         def run(X, keys, lambda_W, tolerance):
             diss = prepare(X)
@@ -425,6 +429,7 @@ def _make_gpnh_run(mesh, restart_axis, n_valid, *, n_components, init,
             return local_best(*out)
         return run
 
+    @apply_matmul_precision
     @jax.jit
     def run(X, keys, lambda_W, tolerance):
         @functools.partial(

@@ -40,11 +40,13 @@ from ..models._common import (QPSolverConfig, SPGSolverConfig, make_config,
 from ..models.archetypal_analysis import _spg_cfg_to_quad_kwargs
 from ..ops.simplex_projection import simplex_project_rows
 from ..solvers.spg import quad_spg, quad_simplex_spg_batch
+from ..utils.precision import apply_matmul_precision
 
 __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
            "sharded_gpnh_fit"]
 
 
+@apply_matmul_precision
 def distributed_gram(mesh, X, feature_axis="samples"):
     """Gram matrix ``X X'`` with the feature dimension sharded.
 
@@ -213,6 +215,7 @@ def _select_best(states, costs, trace, n_iters, *, n_valid, restart_axis):
 # ---------------------------------------------------------------------------
 
 
+@apply_matmul_precision
 def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
                           do_scale=False,
                           dict_iterations=5, weights_iterations=50,
@@ -264,6 +267,7 @@ def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
     return step(X, Zs, Cs, alphas)
 
 
+@apply_matmul_precision
 def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
                    max_iterations=100, stopping_criterion='abs_delta_f',
                    dictionary_solver_kwargs=None,
@@ -355,6 +359,7 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
     }
 
 
+@apply_matmul_precision
 def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
                      max_iterations=100, stopping_criterion='abs_delta_f',
                      weights_solver_kwargs=None, n_valid_restarts=None,

@@ -44,6 +44,7 @@ import numpy as np
 
 from ..ops.simplex_projection import (simplex_project_masked,
                                       simplex_project_vector)
+from ..utils.precision import apply_matmul_precision
 
 __all__ = [
     "spg",
@@ -134,6 +135,7 @@ class _VerboseTable:
             print('*** Converged at iteration {:d} ***'.format(int(n_iter)))
 
 
+@apply_matmul_precision
 def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
         alpha0=None, alpha_min=1e-5, alpha_max=1e3,
@@ -285,6 +287,7 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
     return x, f_old, n_iter, n_feval
 
 
+@apply_matmul_precision
 def quad_spg(matvec, B, x0, project, alpha0=-1.0,
              alpha_min=1e-5, alpha_max=1e3,
              epsilon_one=1e-10, epsilon_two=1e-6,
@@ -376,6 +379,7 @@ def quad_spg(matvec, B, x0, project, alpha0=-1.0,
     return project(x)
 
 
+@apply_matmul_precision
 def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
                      sigma_one=0.1, sigma_two=0.9, lambda_min=1e-10,
                      alpha0=-1.0, alpha_min=1e-5, alpha_max=1e3,
@@ -428,6 +432,7 @@ def quad_simplex_spg(A, b, x0, gamma=1e-4, memory=1,
         max_iterations=min(max_iterations, max_feval))
 
 
+@apply_matmul_precision
 def quad_simplex_spg_batch(A, B, X0, backend="xla", mask=None,
                            **solver_kwargs):
     """Solve ``n`` simplex QPs sharing the Hessian ``A`` in lockstep.
