@@ -210,6 +210,7 @@ def main():
             "baseline_seconds_reconstructed": round(baseline_seconds, 2),
             "baseline_per_iter_s": round(baseline["per_iter_seconds"], 3),
             "alternating_update_gflops_per_s": round(gflops_per_s, 1),
+            "restart_iterations_per_second": round(total_iters / elapsed, 1),
             "gram_matmul_gflops_per_s": round(gram_flops_per_s / 1e9, 1),
             "gram_matmul_seconds": round(gram_seconds, 5),
             "mfu_vs_bf16_peak": (round(fit_flops / elapsed / peak, 4)

@@ -215,6 +215,7 @@ def kmeans_fit_numpy(X, k, rng, n_init=10, max_iter=300, tol=1e-4,
     empty clusters keep their centroid)."""
     X = np.asarray(X, dtype=np.float64)
     tol_abs = tol * np.mean(np.var(X, axis=0))
+    x_sq = np.sum(X * X, axis=1)[:, None]   # loop-invariant, hoisted
     best = None
     for _ in range(n_init):
         if init == 'k-means++':
@@ -222,8 +223,7 @@ def kmeans_fit_numpy(X, k, rng, n_init=10, max_iter=300, tol=1e-4,
         else:
             centroids = X[rng.choice(X.shape[0], k, replace=False)]
         for _ in range(max_iter):
-            d2 = (np.sum(X * X, axis=1)[:, None]
-                  - 2.0 * X @ centroids.T
+            d2 = (x_sq - 2.0 * X @ centroids.T
                   + np.sum(centroids * centroids, axis=1)[None, :])
             labels = np.argmin(d2, axis=1)
             new_c = centroids.copy()
@@ -235,8 +235,7 @@ def kmeans_fit_numpy(X, k, rng, n_init=10, max_iter=300, tol=1e-4,
             centroids = new_c
             if shift < tol_abs:
                 break
-        d2 = (np.sum(X * X, axis=1)[:, None]
-              - 2.0 * X @ centroids.T
+        d2 = (x_sq - 2.0 * X @ centroids.T
               + np.sum(centroids * centroids, axis=1)[None, :])
         inertia = float(np.maximum(d2, 0).min(axis=1).sum())
         if best is None or inertia < best[1]:
