@@ -187,3 +187,48 @@ def test_sweep_bucketing_matches_per_k_quality():
     # Elbow structure preserved: cost decreases with k.
     costs = [bucketed[k]['cost'] for k in ks]
     assert costs[0] > costs[1]
+
+
+def test_screened_restarts_reach_planted_solution():
+    """Two-phase screened restarts (screen -> prune -> resume) must
+    recover the planted factorization and report coherent per-restart
+    accounting."""
+    rng = np.random.RandomState(7)
+    X = _planted(rng)
+    res = aa_fit_restarts(X, 3, jax.random.PRNGKey(0), n_init=8,
+                          init='random', tolerance=1e-10,
+                          max_iterations=300,
+                          screen_iterations=20, screen_keep=0.5)
+    assert res['cost'] < 1e-6
+    assert res['weights'].shape == (48, 3)
+    assert res['costs'].shape == (8,)
+    # Exactly ceil(0.5 * 8) survivors ran past the screening budget.
+    deep = np.sum(res['n_iters'] > 20)
+    assert deep <= 4
+    assert np.allclose(np.asarray(res['weights']).sum(1), 1, atol=1e-10)
+
+
+def test_screened_restarts_match_unscreened_winner():
+    """With screen_keep=1.0 every restart survives; the screened run
+    must find the same optimum as the unscreened run."""
+    rng = np.random.RandomState(8)
+    X = _planted(rng)
+    kw = dict(n_init=4, init='random', tolerance=1e-10,
+              max_iterations=300)
+    full = aa_fit_restarts(X, 3, jax.random.PRNGKey(1), **kw)
+    screened = aa_fit_restarts(X, 3, jax.random.PRNGKey(1),
+                               screen_iterations=15, screen_keep=1.0,
+                               **kw)
+    assert abs(full['cost'] - screened['cost']) < 1e-8
+    assert screened['best_index'] == full['best_index']
+
+
+def test_screened_restarts_reject_mesh():
+    import pytest
+    from convex_dim_red_tpu.parallel.mesh import create_mesh
+    rng = np.random.RandomState(9)
+    X = _planted(rng)
+    mesh = create_mesh(shape=(8,), axis_names=('restarts',))
+    with pytest.raises(NotImplementedError):
+        aa_fit_restarts(X, 3, jax.random.PRNGKey(0), n_init=8,
+                        mesh=mesh, screen_iterations=10)
