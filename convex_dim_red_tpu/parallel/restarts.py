@@ -55,17 +55,32 @@ def _padded_components(n_components, pad_components_to):
 
 def _pad_keys(keys, axis_size):
     """Pad the key batch to a multiple of the mesh restart axis; padded
-    restarts run but are masked out of the keep-best selection."""
+    restarts run but are masked out of the keep-best selection.  The
+    pad can exceed the batch size (e.g. 3 restarts on an 8-device
+    restart axis), so the batch is tiled, not sliced."""
     n = keys.shape[0]
     pad = (-n) % axis_size
     if pad:
-        keys = jnp.concatenate([keys, keys[:pad]], axis=0)
+        reps = -(-(n + pad) // n)
+        keys = jnp.tile(keys, (reps, 1))[:n + pad]
     return keys, n
 
 
 # ---------------------------------------------------------------------------
 # Archetypal analysis
 # ---------------------------------------------------------------------------
+
+
+
+def _prepare_aa_inputs(X, has_data, init):
+    """Shared runner setup: Gram (or passthrough kernel), dissimilarity
+    matrix for FurthestSum inits, and the data operand for the
+    residual-form cost."""
+    K = X @ X.T if has_data else X
+    diss = (dissimilarities_from_kernel(K)
+            if init == 'furthest_sum' else None)
+    data = X if has_data else jnp.zeros((), K.dtype)
+    return K, diss, data
 
 
 def _aa_fit_batch(X, K, diss, keys, delta, tolerance, component_mask,
@@ -146,11 +161,7 @@ def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
     def prepare(X):
         # ArchetypalAnalysis path: X is data, Gram formed on device;
         # KernelAA path: X *is* the kernel.
-        K = X @ X.T if has_data else X
-        diss = (dissimilarities_from_kernel(K)
-                if init == 'furthest_sum' else None)
-        data = X if has_data else jnp.zeros((), K.dtype)
-        return K, diss, data
+        return _prepare_aa_inputs(X, has_data, init)
 
     def local_best(Zs, Cs, alphas, costs, n_iters, traces):
         best = jnp.argmin(costs)
@@ -209,10 +220,7 @@ def _make_aa_screen_run(*, n_components, init, max_iterations,
     @apply_matmul_precision
     @jax.jit
     def run(X, keys, delta, tolerance, component_mask=None):
-        K = X @ X.T if has_data else X
-        diss = (dissimilarities_from_kernel(K)
-                if init == 'furthest_sum' else None)
-        data = X if has_data else jnp.zeros((), K.dtype)
+        K, diss, data = _prepare_aa_inputs(X, has_data, init)
         Zs, Cs, alphas, costs, n_iters, _ = _aa_fit_batch(
             data, K, diss, keys, delta, tolerance, component_mask,
             **statics)
@@ -230,8 +238,7 @@ def _make_aa_resume_run(*, max_iterations, criterion, do_scale, has_data,
     @apply_matmul_precision
     @jax.jit
     def run(X, Zs, Cs, alphas, delta, tolerance, component_mask=None):
-        K = X @ X.T if has_data else X
-        data = X if has_data else jnp.zeros((), K.dtype)
+        K, _, data = _prepare_aa_inputs(X, has_data, init=None)
 
         def resume_one(Z, C, alpha):
             return _kernel_aa_core(
@@ -282,18 +289,32 @@ def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
         **{k: statics[k] for k in ('max_iterations', 'criterion',
                                    'do_scale', 'has_data', 'dict_cfg',
                                    'weights_cfg', 'scale_cfg')})
-    out = resume(X, Zs[surv_idx], Cs[surv_idx], alphas[surv_idx],
-                 delta, tolerance, component_mask)
-    Z, C, alpha, trace, res_costs, res_iters, best_cost, best_n_iter = out
+    # The resume phase is chunked like the screening phase: survivors x
+    # up to max_iterations in one device execution can exceed the TPU
+    # worker's execution watchdog (see _keep_best_over_chunks).
+    best = None
+    res_costs, res_iters = [], []
+    for i in range(0, n_keep, chunk):
+        sl = surv_idx[i:i + chunk]
+        out = resume(X, Zs[sl], Cs[sl], alphas[sl],
+                     delta, tolerance, component_mask)
+        (Z, C, alpha, trace, costs_c, iters_c,
+         best_cost, best_n_iter) = out
+        res_costs.append(np.asarray(costs_c))
+        res_iters.append(np.asarray(iters_c))
+        if best is None or float(best_cost) < best[4]:
+            best = (Z, C, alpha, trace, float(best_cost),
+                    int(best_n_iter))
+    res_costs = np.concatenate(res_costs)
+    res_iters = np.concatenate(res_iters)
 
     all_costs = screen_costs.copy()
     all_iters = screen_iters.copy()
-    all_costs[survivors] = np.asarray(res_costs)
-    all_iters[survivors] = screen_iters[survivors] + np.asarray(res_iters)
-    # best_n_iter / the trace cover the resume phase of the winner (its
+    all_costs[survivors] = res_costs
+    all_iters[survivors] = screen_iters[survivors] + res_iters
+    # best's n_iter / trace cover the resume phase of the winner (its
     # screening iterations are in ``n_iters``); slicing the trace with
     # the phase count keeps cost_deltas consistent.
-    best = (Z, C, alpha, trace, float(best_cost), int(best_n_iter))
     return best, all_costs, all_iters
 
 

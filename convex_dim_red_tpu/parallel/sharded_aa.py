@@ -46,6 +46,22 @@ __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
            "sharded_gpnh_fit"]
 
 
+
+def _xla_weights_kwargs(weights_solver_kwargs):
+    """Resolve weights-QP kwargs for the sharded paths, which run the
+    QP under a restart ``vmap`` — the fused Pallas kernel cannot nest
+    there (ops/pallas_qp.py), so a requested 'pallas' backend must fail
+    loudly instead of silently running the XLA path (the degradation
+    bug fixed for the single-chip cores in round 2)."""
+    cfg = make_config(QPSolverConfig, weights_solver_kwargs)
+    if cfg.backend != 'xla':
+        raise ValueError(
+            "sharded fits run the weights QP inside a restart vmap, "
+            "where backend=%r is unsupported; use backend='xla' (the "
+            "default) or the single-chip pallas path" % (cfg.backend,))
+    return cfg.kwargs()
+
+
 @apply_matmul_precision
 def distributed_gram(mesh, X, feature_axis="samples"):
     """Gram matrix ``X X'`` with the feature dimension sharded.
@@ -298,8 +314,7 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
 
     dict_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, dictionary_solver_kwargs))
-    weights_kwargs = make_config(
-        QPSolverConfig, weights_solver_kwargs).kwargs()
+    weights_kwargs = _xla_weights_kwargs(weights_solver_kwargs)
     scale_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, scale_factors_solver_kwargs))
 
@@ -378,8 +393,7 @@ def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
     n_restarts = Zs.shape[0]
     if n_valid_restarts is None:
         n_valid_restarts = n_restarts
-    weights_kwargs = make_config(
-        QPSolverConfig, weights_solver_kwargs).kwargs()
+    weights_kwargs = _xla_weights_kwargs(weights_solver_kwargs)
 
     @functools.partial(
         shard_map, mesh=mesh,

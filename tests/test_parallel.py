@@ -350,3 +350,41 @@ def test_restart_sharding_is_structural():
     hlo = compiled.as_text()
     assert ('all-reduce' in hlo) or ('all-gather' in hlo), \
         "expected cross-restart collectives in the compiled module"
+
+
+def test_mesh_restarts_fewer_than_axis_size():
+    """Regression: n_init smaller than the mesh restart axis needs a
+    pad larger than the batch itself; _pad_keys must tile, not slice
+    (under-padding crashed shard_map with a divisibility error)."""
+    rng = np.random.RandomState(11)
+    X = rng.standard_normal((16, 5))
+    mesh = create_mesh(shape=(8,), axis_names=("restarts",))
+    res = aa_fit_restarts(X, 2, jax.random.PRNGKey(0), n_init=3,
+                          init='random', tolerance=1e-8,
+                          max_iterations=40, mesh=mesh)
+    assert res['costs'].shape == (3,)
+    assert np.isfinite(res['cost'])
+
+    from convex_dim_red_tpu.parallel.restarts import gpnh_fit_restarts
+    gres = gpnh_fit_restarts(X, 2, jax.random.PRNGKey(1), n_init=3,
+                             tolerance=1e-8, max_iterations=40,
+                             mesh=mesh)
+    assert gres['costs'].shape == (3,)
+    assert np.isfinite(gres['cost'])
+
+
+def test_sharded_fit_rejects_pallas_backend():
+    """The sharded fits run the weights QP under a restart vmap where
+    the Pallas kernel cannot nest; a requested pallas backend must fail
+    loudly instead of silently running XLA."""
+    import pytest
+    from convex_dim_red_tpu.parallel.sharded_aa import sharded_aa_fit
+    rng = np.random.RandomState(12)
+    X = rng.standard_normal((16, 5))
+    Zs = rng.dirichlet(np.ones(2), (2, 16))
+    Cs = rng.dirichlet(np.ones(16), (2, 2))
+    alphas = np.ones((2, 2))
+    mesh = create_mesh(shape=(1, 8), axis_names=("restarts", "samples"))
+    with pytest.raises(ValueError, match="pallas"):
+        sharded_aa_fit(mesh, X, Zs, Cs, alphas,
+                       weights_solver_kwargs={'backend': 'pallas'})
