@@ -23,10 +23,11 @@ import time
 import jax
 import numpy as np
 
-from .restarts import aa_fit_restarts
+from .restarts import aa_fit_restarts, gpnh_fit_restarts
 from ..models.kmeans import KMeans, gap_statistic
 
-__all__ = ["aa_model_selection_sweep", "kmeans_model_selection_sweep"]
+__all__ = ["aa_model_selection_sweep", "gpnh_model_selection_sweep",
+           "kmeans_model_selection_sweep"]
 
 
 def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
@@ -73,6 +74,45 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
             'costs': np.asarray(fit['costs']),
         }
         results[int(k)] = entry
+    return results
+
+
+
+def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
+                               init='random', tolerance=1e-5,
+                               stopping_criterion='rel_delta_f',
+                               max_iterations=500, mesh=None,
+                               **solver_kwargs):
+    """Fit GPNH convex coding for every k with ``n_init`` restarts.
+
+    GPNH analog of :func:`aa_model_selection_sweep` (the analysis
+    notebooks' cost-vs-k selection curves cover GPNH runs too).  No
+    component bucketing: the GPNH dictionary penalty averages pairwise
+    distances over *all* columns (gpnh_convex_coding.py penalty;
+    reference :179-196), so padded columns would change the objective —
+    each ``k`` compiles its own program.
+
+    Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', 'costs'}}``.
+    """
+    X = np.asarray(data)
+    results = {}
+    for k in ks:
+        k = int(k)
+        key, sub = jax.random.split(key)
+        start = time.perf_counter()
+        fit = gpnh_fit_restarts(
+            data, k, sub, n_init, lambda_W=lambda_W, init=init,
+            tolerance=tolerance, stopping_criterion=stopping_criterion,
+            max_iterations=max_iterations, mesh=mesh, **solver_kwargs)
+        elapsed = time.perf_counter() - start
+        recon = np.asarray(fit['weights'] @ fit['dictionary'].T)
+        results[k] = {
+            'cost': fit['cost'],
+            'rmse': float(np.sqrt(np.mean((recon - X) ** 2))),
+            'n_iter': fit['n_iter'],
+            'elapsed': elapsed,
+            'costs': np.asarray(fit['costs']),
+        }
     return results
 
 

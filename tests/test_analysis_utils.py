@@ -184,3 +184,19 @@ def test_plotting_helpers_produce_figures(tmp_path):
     fig = plot_model_selection(results)
     fig.savefig(str(tmp_path / "selection.png"))
     assert (tmp_path / "patterns.png").exists()
+
+
+def test_gpnh_model_selection_sweep():
+    from convex_dim_red_tpu.parallel.sweep import gpnh_model_selection_sweep
+    rng = np.random.RandomState(13)
+    Z = rng.dirichlet(np.ones(3), 30)
+    X = Z @ rng.standard_normal((3, 6))
+    res = gpnh_model_selection_sweep(
+        X, [2, 3], jax.random.PRNGKey(0), n_init=4, lambda_W=1e-4,
+        tolerance=1e-8, max_iterations=200)
+    assert set(res) == {2, 3}
+    for k, entry in res.items():
+        assert entry['costs'].shape == (4,)
+        assert np.isfinite(entry['cost']) and entry['rmse'] >= 0
+    # k=3 planted: better reconstruction than k=2.
+    assert res[3]['cost'] < res[2]['cost']
