@@ -20,7 +20,13 @@ def enable_compilation_cache(path=None):
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # The remote-compile relay acks many compiles in 0.3-0.9 s
+        # (deferring/serving the heavy work server-side), so a 1 s
+        # write threshold silently skips caching them and every new
+        # process re-pays the relay round trip per program.  Cache
+        # anything costing more than a local disk load.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.05)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax: flag names differ; cache is best-effort
