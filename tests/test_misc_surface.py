@@ -204,3 +204,26 @@ def test_f32_fit_past_resolution_does_not_trip_watchdog():
     W = model.fit_transform(X)  # must not raise
     assert np.asarray(W).dtype == np.float32
     assert model.cost < 0.05
+
+
+def test_enable_compilation_cache_configures_and_restores(tmp_path):
+    """enable_compilation_cache must point jax at the given directory
+    and lower the write threshold below the relay's sub-second acks
+    (utils/cache.py; threshold rationale measured on the TPU tunnel)."""
+    from convex_dim_red_tpu.utils.cache import enable_compilation_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        target = str(tmp_path / "xla_cache")
+        out = enable_compilation_cache(target)
+        assert out == target
+        assert jax.config.jax_compilation_cache_dir == target
+        assert (jax.config.jax_persistent_cache_min_compile_time_secs
+                <= 0.05)
+        import os
+        assert os.path.isdir(target)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
