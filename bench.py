@@ -110,18 +110,46 @@ def measure_baseline():
     }
 
 
-def measure_gram_throughput(X):
-    """Standalone Gram matmul GFLOP/s (the MXU-bound op)."""
+def measure_gram_throughput(X, reps=100, precision='float32'):
+    """Standalone Gram matmul GFLOP/s (the MXU-bound op).
+
+    Two-point slope protocol: the relay adds ~40 ms of fixed round-trip
+    per dispatch (and single-dispatch timings are unreliable through
+    it), so run ``reps`` and ``2*reps`` Gram matmuls inside one
+    compiled loop each and take the slope — fixed overheads cancel and
+    only per-matmul device time remains.  The loop-carried scalar
+    perturbs the input each trip (no hoisting) and the reduce-max
+    consumes every element of K (indexing one element would let XLA
+    dead-code-eliminate the Gram down to a single dot row).
+    """
+    import functools
     import jax
+    from jax import lax
+    import jax.numpy as jnp
     from benchmarks.flops import gram_flops
 
-    gram = jax.jit(lambda X: X @ X.T)
-    jax.block_until_ready(gram(X))  # compile
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        jax.block_until_ready(gram(X))
-    seconds = (time.perf_counter() - t0) / reps
+    @functools.partial(jax.jit, static_argnums=1)
+    def gram_reps(X, reps):
+        def body(_, s):
+            K = jnp.matmul(X * (1.0 + s), X.T, precision=precision)
+            return jnp.max(jnp.abs(K)) * 1e-30
+        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    times = {}
+    for i, r in enumerate((reps, 2 * reps)):
+        # Fresh input buffers per call: the relay short-circuits
+        # repeated executions of an identical (program, args) pair,
+        # so warming and timing on the same buffer measures nothing.
+        Xw = X * (1.0 + 1e-7 * (i + 1))
+        jax.block_until_ready(Xw)
+        float(gram_reps(Xw, r))  # compile + warm (fetch forces completion)
+        Xr = X * (1.0 + 3e-7 * (i + 1))
+        jax.block_until_ready(Xr)
+        t0 = time.perf_counter()
+        float(gram_reps(Xr, r))
+        times[r] = time.perf_counter() - t0
+    seconds = (times[2 * reps] - times[reps]) / reps
+    seconds = max(seconds, 1e-9)
     return gram_flops(N_SAMPLES, N_FEATURES) / seconds, seconds
 
 
@@ -218,6 +246,8 @@ def main():
                      dict_iters=DICT_MAX_ITERATIONS))
     gflops_per_s = fit_flops / elapsed / 1e9
     gram_flops_per_s, gram_seconds = measure_gram_throughput(X)
+    gram_bf16_flops_per_s, gram_bf16_seconds = measure_gram_throughput(
+        X, precision='default')
     peak = peak_flops_bf16(jax.devices()[0])
 
     out = {
@@ -240,10 +270,14 @@ def main():
                 baseline_seconds / screened_elapsed, 2),
             "gram_matmul_gflops_per_s": round(gram_flops_per_s / 1e9, 1),
             "gram_matmul_seconds": round(gram_seconds, 5),
+            "gram_bf16_gflops_per_s": round(
+                gram_bf16_flops_per_s / 1e9, 1),
             "mfu_vs_bf16_peak": (round(fit_flops / elapsed / peak, 4)
                                  if peak else None),
-            "gram_mfu_vs_bf16_peak": (round(gram_flops_per_s / peak, 4)
-                                      if peak else None),
+            "gram_mfu_vs_bf16_peak": (round(gram_bf16_flops_per_s / peak,
+                                            4) if peak else None),
+            "gram_f32_mfu_vs_f32_peak": (round(
+                gram_flops_per_s / (peak / 6), 4) if peak else None),
             "device": str(jax.devices()[0]),
             "weights_backend": backend,
             "workload": baseline.get("workload"),
