@@ -149,7 +149,11 @@ def measure_gram_throughput(X, reps=100, precision='float32'):
         float(gram_reps(Xr, r))
         times[r] = time.perf_counter() - t0
     seconds = (times[2 * reps] - times[reps]) / reps
-    seconds = max(seconds, 1e-9)
+    if seconds <= 0:
+        # Relay timing jitter can make time(2*reps) < time(reps);
+        # clamping would report absurd GFLOP/s (MFU > 1).  Flag the
+        # measurement as invalid instead of poisoning the results.
+        return None, None
     return gram_flops(N_SAMPLES, N_FEATURES) / seconds, seconds
 
 
@@ -268,16 +272,24 @@ def main():
             "screened_cost": screened["cost"],
             "screened_vs_baseline": round(
                 baseline_seconds / screened_elapsed, 2),
-            "gram_matmul_gflops_per_s": round(gram_flops_per_s / 1e9, 1),
-            "gram_matmul_seconds": round(gram_seconds, 5),
-            "gram_bf16_gflops_per_s": round(
-                gram_bf16_flops_per_s / 1e9, 1),
+            # None values flag an invalid two-point-slope measurement
+            # (relay jitter produced a non-positive slope).
+            "gram_matmul_gflops_per_s": (
+                round(gram_flops_per_s / 1e9, 1)
+                if gram_flops_per_s else None),
+            "gram_matmul_seconds": (round(gram_seconds, 5)
+                                    if gram_seconds else None),
+            "gram_bf16_gflops_per_s": (
+                round(gram_bf16_flops_per_s / 1e9, 1)
+                if gram_bf16_flops_per_s else None),
             "mfu_vs_bf16_peak": (round(fit_flops / elapsed / peak, 4)
                                  if peak else None),
-            "gram_mfu_vs_bf16_peak": (round(gram_bf16_flops_per_s / peak,
-                                            4) if peak else None),
-            "gram_f32_mfu_vs_f32_peak": (round(
-                gram_flops_per_s / (peak / 6), 4) if peak else None),
+            "gram_mfu_vs_bf16_peak": (
+                round(gram_bf16_flops_per_s / peak, 4)
+                if peak and gram_bf16_flops_per_s else None),
+            "gram_f32_mfu_vs_f32_peak": (
+                round(gram_flops_per_s / (peak / 6), 4)
+                if peak and gram_flops_per_s else None),
             "device": str(jax.devices()[0]),
             "weights_backend": backend,
             "workload": baseline.get("workload"),

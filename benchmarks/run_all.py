@@ -119,7 +119,7 @@ def config5_sweep():
     results = aa_model_selection_sweep(
         X, ks, jax.random.PRNGKey(0), n_init=50, tolerance=1e-5,
         stopping_criterion='rel_delta_f', max_iterations=200,
-        init='random')
+        init='random', component_bucket=8)
     seconds = time.perf_counter() - t0
     return {"config": "aa_sweep_k2_20_x50_restarts",
             "seconds": round(seconds, 2),

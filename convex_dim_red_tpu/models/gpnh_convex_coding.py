@@ -165,8 +165,11 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
     inc_flags = jnp.zeros((2,), dtype=bool)
 
     # Watchdog threshold floored at the dtype's cost-evaluation
-    # resolution (see archetypal_analysis._kernel_aa_core).
-    watchdog_floor = 16.0 * float(jnp.finfo(X.dtype).eps) * trace_XtX
+    # resolution.  Same 64*eps multiplier as the AA core: on real TPU
+    # under reduced matmul precision, f32 fits at the resolution floor
+    # oscillate with per-stage increases up to ~26*eps*trace (see the
+    # calibration note in archetypal_analysis._kernel_aa_core).
+    watchdog_floor = 64.0 * float(jnp.finfo(X.dtype).eps) * trace_XtX
     watchdog_thresh = jnp.maximum(tolerance, watchdog_floor)
 
     def increased(old, new):

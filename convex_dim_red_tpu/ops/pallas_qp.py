@@ -66,17 +66,22 @@ def _masked_project(x, mask, dtype):
     return jnp.where(mask, jnp.maximum(x - tau, 0.0), 0.0)
 
 
-def _qp_kernel(A_ref, B_ref, X0_ref, out_ref,
+def _qp_kernel(A_ref, B_ref, X0_ref, M_ref, out_ref,
                X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
-               k, max_iterations, alpha0, alpha_min, alpha_max,
+               max_iterations, alpha0, alpha_min, alpha_max,
                epsilon_one, epsilon_two):
     dtype = X0_ref.dtype
     block = X0_ref.shape[0]
 
     A = A_ref[:]                       # (LANES, LANES); rows/cols >= k are 0
     B = B_ref[:]                       # (block, LANES); cols >= k are 0
-    lane = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
-    mask = lane < k
+    # Active-lane mask is a RUNTIME input (1.0 active / 0.0 masked),
+    # not a static `lane < k` test: component-masked (bucketed) solves
+    # and plain solves of the same padded shape share one compiled
+    # program (parallel/restarts.py padded-k bucketing).  Masked lanes
+    # are pinned to zero by every projection, so arbitrary Hessian
+    # values in masked rows/cols never contribute.
+    mask = jnp.broadcast_to(M_ref[0:1, :], (block, LANES)) > 0.5
 
     def rowsum(v):
         return jnp.broadcast_to(jnp.sum(v, axis=1, keepdims=True),
@@ -176,12 +181,16 @@ def _qp_kernel(A_ref, B_ref, X0_ref, out_ref,
 def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
                            alpha_min=1e-5, alpha_max=1e3,
                            epsilon_one=1e-10, epsilon_two=1e-6,
-                           block_rows=512, interpret=False):
+                           block_rows=512, interpret=False, mask=None):
     """Solve ``n`` simplex QPs (shared Hessian) in one fused TPU kernel.
 
     ``A``: (k, k); ``B``: (n, k); ``X0``: (n, k).  Returns (n, k).
     Drop-in for :func:`solvers.spg.quad_simplex_spg_batch` when
-    ``k <= 128``.
+    ``k <= 128``.  ``mask`` (optional (k,) bool, runtime value, shared
+    across rows) restricts every QP to the masked sub-simplex with
+    masked coordinates pinned at exactly zero — the padded-``k``
+    bucketing primitive (masked and unmasked calls of the same shape
+    share one compiled program).
     """
     A = jnp.asarray(A)
     B = jnp.asarray(B)
@@ -197,9 +206,12 @@ def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
     A_p = jnp.zeros((LANES, LANES), dtype).at[:k, :k].set(A)
     B_p = jnp.zeros((n_pad, LANES), dtype).at[:n, :k].set(B)
     X0_p = jnp.zeros((n_pad, LANES), dtype).at[:n, :k].set(X0)
+    active = (jnp.ones((k,), dtype) if mask is None
+              else jnp.asarray(mask).astype(dtype))
+    M_p = jnp.zeros((8, LANES), dtype).at[:, :k].set(active[None, :])
 
     kernel = functools.partial(
-        _qp_kernel, k=k, max_iterations=int(max_iterations),
+        _qp_kernel, max_iterations=int(max_iterations),
         alpha0=float(alpha0), alpha_min=float(alpha_min),
         alpha_max=float(alpha_max), epsilon_one=float(epsilon_one),
         epsilon_two=float(epsilon_two))
@@ -214,6 +226,8 @@ def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -226,7 +240,7 @@ def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
             pltpu.VMEM((block_rows, LANES), dtype),  # stall counter
         ],
         interpret=interpret,
-    )(A_p, B_p, X0_p)
+    )(A_p, B_p, X0_p, M_p)
 
     return out[:n, :k]
 
@@ -236,18 +250,20 @@ def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
 # ---------------------------------------------------------------------------
 
 
-def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, out_ref,
+def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, M_ref, out_ref,
                    X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
-                   k, k_pad, max_iterations, alpha0, alpha_min, alpha_max,
+                   k_pad, max_iterations, alpha0, alpha_min, alpha_max,
                    epsilon_one, epsilon_two, bisect_steps):
     """QP solve with P = LANES // k_pad problems packed per lane row.
 
     ``A_ref`` holds the block-diagonal (LANES, LANES) Hessian (P copies
     of the padded k x k block), so one MXU matmul performs P matvecs;
     ``S_ref`` is the 0/1 segment mask whose matmul computes
-    sum-and-broadcast over each k_pad-lane segment.  Segment max uses a
-    masked roll butterfly.  Per-problem scalars live broadcast across
-    their segment's lanes.
+    sum-and-broadcast over each k_pad-lane segment.  ``M_ref`` is the
+    runtime active-lane mask (the per-problem component mask tiled into
+    every segment — see :func:`_qp_kernel` on why it is runtime).
+    Segment max uses a masked roll butterfly.  Per-problem scalars live
+    broadcast across their segment's lanes.
     """
     dtype = X0_ref.dtype
     block = X0_ref.shape[0]
@@ -257,7 +273,7 @@ def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, out_ref,
     S = S_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
     pos = lane % k_pad
-    mask = pos < k
+    mask = jnp.broadcast_to(M_ref[0:1, :], (block, LANES)) > 0.5
     neg = jnp.asarray(-1e30, dtype)
 
     def segsum(v):
@@ -379,10 +395,11 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
                                   alpha0=-1.0, alpha_min=1e-5,
                                   alpha_max=1e3, epsilon_one=1e-10,
                                   epsilon_two=1e-6, block_rows=256,
-                                  interpret=False):
+                                  interpret=False, mask=None):
     """Lane-packed fused QP solve: P = 128 // next_pow2(k) problems per
     lane row (full VPU/MXU utilization for small ``k``, vs 1 problem per
-    row in :func:`quad_simplex_qp_pallas`).  Requires ``k <= 64``."""
+    row in :func:`quad_simplex_qp_pallas`).  Requires ``k <= 64``.
+    ``mask`` as in :func:`quad_simplex_qp_pallas`."""
     A = jnp.asarray(A)
     B = jnp.asarray(B)
     X0 = jnp.asarray(X0)
@@ -409,8 +426,13 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
     seg = jnp.arange(LANES) // k_pad
     S = (seg[:, None] == seg[None, :]).astype(dtype)
 
+    active = (jnp.ones((k,), dtype) if mask is None
+              else jnp.asarray(mask).astype(dtype))
+    lane_act = jnp.tile(jnp.zeros((k_pad,), dtype).at[:k].set(active), P)
+    M_in = jnp.broadcast_to(lane_act[None, :], (8, LANES))
+
     kernel = functools.partial(
-        _packed_kernel, k=k, k_pad=k_pad,
+        _packed_kernel, k_pad=k_pad,
         max_iterations=int(max_iterations), alpha0=float(alpha0),
         alpha_min=float(alpha_min), alpha_max=float(alpha_max),
         epsilon_one=float(epsilon_one), epsilon_two=float(epsilon_two),
@@ -428,6 +450,8 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -440,6 +464,6 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
             pltpu.VMEM((block_rows, LANES), dtype),
         ],
         interpret=interpret,
-    )(A_blk, pack(B), pack(X0), S)
+    )(A_blk, pack(B), pack(X0), S, M_in)
 
     return out.reshape(n_pad, k_pad)[:n, :k]

@@ -46,8 +46,15 @@ def select_best(costs, state):
 
 
 def _padded_components(n_components, pad_components_to):
-    """Resolve the padded component count and its runtime mask."""
-    if pad_components_to is None or int(pad_components_to) <= n_components:
+    """Resolve the padded component count and its runtime mask.
+
+    When ``pad_components_to == n_components`` the mask is all-true
+    rather than ``None``: the masked program is exact for a full mask
+    (tests/test_padded_components.py), and returning ``None`` would
+    compile a *separate* maskless program for exact-multiple ``k``
+    values — defeating the bucketing goal for them (each extra
+    protocol-scale program pays the relay's first-dispatch cost)."""
+    if pad_components_to is None or int(pad_components_to) < n_components:
         return n_components, None
     k_pad = int(pad_components_to)
     return k_pad, jnp.arange(k_pad) < n_components
@@ -138,18 +145,22 @@ def _aa_fit_batch(X, K, diss, keys, delta, tolerance, component_mask,
 
 
 @functools.lru_cache(maxsize=128)
-def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
+def _make_aa_run(mesh, restart_axis, *, n_components, init,
                  max_iterations, n_extra_steps, criterion, do_scale,
                  has_data, dict_cfg, weights_cfg, scale_cfg):
     """Build the jitted keep-best runner for one static configuration.
 
-    Returns a function ``(X_or_K, keys, delta, tolerance) ->
-    (Z, C, alpha, trace, costs, n_iters, best_cost, best_n_iter)``
-    where the first six describe the best restart / all restarts.
-    With ``mesh`` given, the key batch is shard_map'd over
-    ``restart_axis``; every device group runs only its local restarts
-    (structural partitioning) and the winner is selected across the
-    mesh.
+    Returns a function ``(X_or_K, keys, delta, tolerance,
+    component_mask, n_valid) -> (Z, C, alpha, trace, costs, n_iters,
+    best_cost, best_n_iter)`` where the first six describe the best
+    restart / all restarts.  ``n_valid`` is a *runtime* scalar masking
+    tiled pad restarts out of the keep-best selection — runtime so a
+    final partial chunk padded to the same shape reuses the compiled
+    program instead of recompiling (the pad count would otherwise be
+    baked into the cache key).  With ``mesh`` given, the key batch is
+    shard_map'd over ``restart_axis``; every device group runs only its
+    local restarts (structural partitioning) and the winner is selected
+    across the mesh.
     """
     statics = dict(n_components=n_components, init=init,
                    max_iterations=max_iterations,
@@ -163,31 +174,34 @@ def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
         # KernelAA path: X *is* the kernel.
         return _prepare_aa_inputs(X, has_data, init)
 
-    def local_best(Zs, Cs, alphas, costs, n_iters, traces):
-        best = jnp.argmin(costs)
+    def local_best(Zs, Cs, alphas, costs, n_iters, traces, n_valid):
+        masked = jnp.where(jnp.arange(costs.shape[0]) < n_valid,
+                           costs, jnp.inf)
+        best = jnp.argmin(masked)
         return (Zs[best], Cs[best], alphas[best], traces[best],
                 costs, n_iters, costs[best], n_iters[best])
 
     if mesh is None:
         @apply_matmul_precision
         @jax.jit
-        def run(X, keys, delta, tolerance, component_mask=None):
+        def run(X, keys, delta, tolerance, component_mask, n_valid):
             K, diss, data = prepare(X)
             out = _aa_fit_batch(data, K, diss, keys, delta, tolerance,
                                 component_mask, **statics)
-            return local_best(*out)
+            return local_best(*out, n_valid)
         return run
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, keys, delta, tolerance, component_mask=None):
+    def run(X, keys, delta, tolerance, component_mask, n_valid):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(restart_axis, None), P(), P(), P()),
+            in_specs=(P(), P(restart_axis, None), P(), P(), P(), P()),
             out_specs=(P(), P(), P(), P(),
                        P(restart_axis), P(restart_axis), P(), P()),
             check_vma=False)
-        def shard_fit(X, keys_loc, delta, tolerance, component_mask):
+        def shard_fit(X, keys_loc, delta, tolerance, component_mask,
+                      n_valid):
             K, diss, data = prepare(X)
             Zs, Cs, alphas, costs, n_iters, traces = _aa_fit_batch(
                 data, K, diss, keys_loc, delta, tolerance,
@@ -199,7 +213,8 @@ def _make_aa_run(mesh, restart_axis, n_valid, *, n_components, init,
             return (Z, C, alpha, best_trace, costs, n_iters,
                     best_cost, best_n_iter)
 
-        return shard_fit(X, keys, delta, tolerance, component_mask)
+        return shard_fit(X, keys, delta, tolerance, component_mask,
+                         n_valid)
 
     return run
 
@@ -318,15 +333,21 @@ def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
     return best, all_costs, all_iters
 
 
-def _keep_best_over_chunks(run, X, keys, delta, tolerance, chunk_size,
-                           mesh_axis_size, component_mask=None):
-    """Drive ``run`` over restart-key chunks, keeping the best state.
+def _keep_best_over_chunks(call, keys, chunk_size, mesh_axis_size):
+    """Drive ``call(key_chunk, n_valid)`` over restart-key chunks,
+    keeping the best state.
 
     ``restart_chunk`` bounds how many restarts run in one device
     execution: very long single executions (large k x many restarts x
     many iterations) can exceed the TPU worker's execution watchdog and
     kill the worker process; chunks keep each call bounded with
     identical keep-best semantics.
+
+    ``call`` returns ``(*state, costs, n_iters, best_cost,
+    best_n_iter)`` for its chunk (any state arity — AA returns
+    (Z, C, alpha, trace), GPNH (Z, W, trace)).  Returns
+    ``((*state, best_cost, best_n_iter), costs, n_iters)`` over all
+    chunks, pad restarts excluded.
     """
     n_init = keys.shape[0]
     if chunk_size is None or chunk_size >= n_init:
@@ -343,14 +364,12 @@ def _keep_best_over_chunks(run, X, keys, delta, tolerance, chunk_size,
         n_valid = chunk.shape[0]
         if mesh_axis_size > 1:
             chunk, n_valid = _pad_keys(chunk, mesh_axis_size)
-        out = run(chunk.shape[0], n_valid)(X, chunk, delta, tolerance,
-                                           component_mask)
-        Z, C, alpha, trace, costs, n_iters, best_cost, best_n_iter = out
+        out = call(chunk, n_valid)
+        *state, costs, n_iters, best_cost, best_n_iter = out
         all_costs.append(np.asarray(costs)[:n_valid])
         all_n_iters.append(np.asarray(n_iters)[:n_valid])
-        if best is None or float(best_cost) < best[4]:
-            best = (Z, C, alpha, trace, float(best_cost),
-                    int(best_n_iter))
+        if best is None or float(best_cost) < best[-2]:
+            best = (*state, float(best_cost), int(best_n_iter))
     costs = np.concatenate(all_costs)
     n_iters = np.concatenate(all_n_iters)
     return best, costs, n_iters
@@ -431,15 +450,16 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
             screen_keep=float(screen_keep),
             restart_chunk=restart_chunk, statics=statics)
     else:
-        def runner(n_keys, n_valid):
-            return _make_aa_run(
-                mesh, restart_axis,
-                n_valid if mesh is not None else n_keys, **statics)
+        run = _make_aa_run(mesh, restart_axis, **statics)
+        delta_op = jnp.asarray(delta, X.dtype)
+        tol_op = jnp.asarray(tolerance, X.dtype)
+
+        def call(chunk, n_valid):
+            return run(X, chunk, delta_op, tol_op, component_mask,
+                       jnp.asarray(n_valid, jnp.int32))
 
         best, costs, n_iters = _keep_best_over_chunks(
-            runner, X, keys, jnp.asarray(delta, X.dtype),
-            jnp.asarray(tolerance, X.dtype), restart_chunk, axis_size,
-            component_mask=component_mask)
+            call, keys, restart_chunk, axis_size)
 
     Z, C, alpha, trace, best_cost, n_iter_best = best
     if component_mask is not None:
@@ -488,19 +508,23 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
     do_scale = float(delta) != 0.0
     axis_size = 1 if mesh is None else mesh.shape[restart_axis]
 
-    def runner(n_keys, n_valid):
-        return _make_aa_run(
-            mesh, restart_axis, n_valid if mesh is not None else n_keys,
-            n_components=int(n_components), init=init,
-            max_iterations=int(max_iterations),
-            n_extra_steps=int(n_extra_steps),
-            criterion=stopping_criterion, do_scale=do_scale,
-            has_data=False, dict_cfg=dict_cfg, weights_cfg=weights_cfg,
-            scale_cfg=scale_cfg)
+    run = _make_aa_run(
+        mesh, restart_axis,
+        n_components=int(n_components), init=init,
+        max_iterations=int(max_iterations),
+        n_extra_steps=int(n_extra_steps),
+        criterion=stopping_criterion, do_scale=do_scale,
+        has_data=False, dict_cfg=dict_cfg, weights_cfg=weights_cfg,
+        scale_cfg=scale_cfg)
+    delta_op = jnp.asarray(delta, K.dtype)
+    tol_op = jnp.asarray(tolerance, K.dtype)
+
+    def call(chunk, n_valid):
+        return run(K, chunk, delta_op, tol_op, None,
+                   jnp.asarray(n_valid, jnp.int32))
 
     best, costs, n_iters = _keep_best_over_chunks(
-        runner, K, keys, jnp.asarray(delta, K.dtype),
-        jnp.asarray(tolerance, K.dtype), restart_chunk, axis_size)
+        call, keys, restart_chunk, axis_size)
 
     Z, C, alpha, trace, best_cost, n_iter_best = best
     return {
@@ -556,8 +580,10 @@ def _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance, *, n_components,
 
 
 @functools.lru_cache(maxsize=128)
-def _make_gpnh_run(mesh, restart_axis, n_valid, *, n_components, init,
+def _make_gpnh_run(mesh, restart_axis, *, n_components, init,
                    max_iterations, n_extra_steps, criterion, weights_cfg):
+    """GPNH analog of :func:`_make_aa_run` (same runtime-``n_valid``
+    program-reuse design)."""
     statics = dict(n_components=n_components, init=init,
                    max_iterations=max_iterations,
                    n_extra_steps=n_extra_steps, criterion=criterion,
@@ -568,31 +594,33 @@ def _make_gpnh_run(mesh, restart_axis, n_valid, *, n_components, init,
             return dissimilarities_from_kernel(X @ X.T)
         return None
 
-    def local_best(Zs, Ws, costs, n_iters, traces):
-        best = jnp.argmin(costs)
+    def local_best(Zs, Ws, costs, n_iters, traces, n_valid):
+        masked = jnp.where(jnp.arange(costs.shape[0]) < n_valid,
+                           costs, jnp.inf)
+        best = jnp.argmin(masked)
         return (Zs[best], Ws[best], traces[best], costs, n_iters,
                 costs[best], n_iters[best])
 
     if mesh is None:
         @apply_matmul_precision
         @jax.jit
-        def run(X, keys, lambda_W, tolerance):
+        def run(X, keys, lambda_W, tolerance, n_valid):
             diss = prepare(X)
             out = _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance,
                                   **statics)
-            return local_best(*out)
+            return local_best(*out, n_valid)
         return run
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, keys, lambda_W, tolerance):
+    def run(X, keys, lambda_W, tolerance, n_valid):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(restart_axis, None), P(), P()),
+            in_specs=(P(), P(restart_axis, None), P(), P(), P()),
             out_specs=(P(), P(), P(), P(restart_axis), P(restart_axis),
                        P(), P()),
             check_vma=False)
-        def shard_fit(X, keys_loc, lambda_W, tolerance):
+        def shard_fit(X, keys_loc, lambda_W, tolerance, n_valid):
             diss = prepare(X)
             Zs, Ws, costs, n_iters, traces = _gpnh_fit_batch(
                 X, diss, keys_loc, lambda_W, tolerance, **statics)
@@ -603,7 +631,7 @@ def _make_gpnh_run(mesh, restart_axis, n_valid, *, n_components, init,
             return (Z, W, best_trace, costs, n_iters, best_cost,
                     best_n_iter)
 
-        return shard_fit(X, keys, lambda_W, tolerance)
+        return shard_fit(X, keys, lambda_W, tolerance, n_valid)
 
     return run
 
@@ -613,15 +641,18 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
                       n_extra_steps=10,
                       stopping_criterion='abs_delta_f',
                       weights_solver_kwargs=None,
-                      mesh=None, restart_axis='restarts'):
+                      mesh=None, restart_axis='restarts',
+                      restart_chunk=None):
     """Best-of-``n_init`` GPNH convex coding, fully on device.
 
     Vmapped analog of the reference drivers' serial keep-best loop for
     GPNH (bin/run_hadisst_gpnh.py:149-171), supporting both driver inits
-    (``random`` and device-side ``furthest_sum``).  Returns a dict with
-    the best restart's ``weights``, ``dictionary``, ``cost``,
-    ``n_iter``, ``cost_deltas`` plus the full ``costs``/``n_iters``
-    arrays.
+    (``random`` and device-side ``furthest_sum``).  ``restart_chunk``
+    bounds how many restarts run in one device execution (the TPU
+    execution-watchdog guard; see :func:`_keep_best_over_chunks`).
+    Returns a dict with the best restart's ``weights``, ``dictionary``,
+    ``cost``, ``n_iter``, ``cost_deltas`` plus the full
+    ``costs``/``n_iters`` arrays.
     """
     if init not in ('random', 'furthest_sum'):
         raise ValueError(
@@ -632,26 +663,28 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
     weights_cfg = make_config(QPSolverConfig, weights_solver_kwargs)
 
     keys = jax.random.split(key, n_init)
-    n_valid = n_init
-    if mesh is not None:
-        keys, n_valid = _pad_keys(keys, mesh.shape[restart_axis])
+    axis_size = 1 if mesh is None else mesh.shape[restart_axis]
 
     run = _make_gpnh_run(
-        mesh, restart_axis, n_valid, n_components=int(n_components),
+        mesh, restart_axis, n_components=int(n_components),
         init=init, max_iterations=int(max_iterations),
         n_extra_steps=int(n_extra_steps), criterion=stopping_criterion,
         weights_cfg=weights_cfg)
+    lam_op = jnp.asarray(lambda_W, X.dtype)
+    tol_op = jnp.asarray(tolerance, X.dtype)
 
-    out = run(X, keys, jnp.asarray(lambda_W, X.dtype),
-              jnp.asarray(tolerance, X.dtype))
-    Z, W, trace, costs, n_iters, best_cost, best_n_iter = out
-    costs = np.asarray(costs)[:n_valid]
-    n_iters = np.asarray(n_iters)[:n_valid]
-    n_iter_best = int(best_n_iter)
+    def call(chunk, n_valid):
+        return run(X, chunk, lam_op, tol_op,
+                   jnp.asarray(n_valid, jnp.int32))
+
+    best, costs, n_iters = _keep_best_over_chunks(
+        call, keys, restart_chunk, axis_size)
+
+    Z, W, trace, best_cost, n_iter_best = best
     return {
         'weights': Z,
         'dictionary': W,
-        'cost': float(best_cost),
+        'cost': best_cost,
         'n_iter': n_iter_best,
         'cost_deltas': np.asarray(trace)[:n_iter_best],
         'costs': costs,

@@ -35,14 +35,18 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
                              stopping_criterion='rel_delta_f',
                              max_iterations=500, mesh=None,
                              validation_data=None, restart_chunk=10,
-                             component_bucket=8, **solver_kwargs):
+                             component_bucket=None, **solver_kwargs):
     """Fit AA for every k in ``ks`` with ``n_init`` sharded restarts.
 
     ``component_bucket`` rounds each ``k`` up to the next multiple of
     the bucket size for compilation (padded components are masked to
     exact zeros, so results are true ``k``-component fits); every ``k``
-    in a bucket shares one compiled program.  Set it to ``None``/``0``
-    to compile per ``k``.
+    in a bucket shares one compiled program.  Off by default: padding
+    changes the restart *initializations* (masked-uniform weights;
+    FurthestSum refinement sees the padded count), so bucketed per-k
+    costs differ from the reference per-k protocol — opt in when the
+    compile amortization matters more (see benchmarks/run_all.py
+    config5: 7 programs collapse to 3).
 
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', ...}}`` suitable
     for :func:`pipelines.analysis.model_selection_table`.
@@ -82,7 +86,7 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
                                init='random', tolerance=1e-5,
                                stopping_criterion='rel_delta_f',
                                max_iterations=500, mesh=None,
-                               **solver_kwargs):
+                               restart_chunk=10, **solver_kwargs):
     """Fit GPNH convex coding for every k with ``n_init`` restarts.
 
     GPNH analog of :func:`aa_model_selection_sweep` (the analysis
@@ -90,7 +94,9 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
     component bucketing: the GPNH dictionary penalty averages pairwise
     distances over *all* columns (gpnh_convex_coding.py penalty;
     reference :179-196), so padded columns would change the objective —
-    each ``k`` compiles its own program.
+    each ``k`` compiles its own program.  ``restart_chunk`` bounds how
+    many restarts run in one device execution (the TPU execution
+    watchdog guard; see restarts._keep_best_over_chunks).
 
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', 'costs'}}``.
     """
@@ -103,7 +109,8 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
         fit = gpnh_fit_restarts(
             data, k, sub, n_init, lambda_W=lambda_W, init=init,
             tolerance=tolerance, stopping_criterion=stopping_criterion,
-            max_iterations=max_iterations, mesh=mesh, **solver_kwargs)
+            max_iterations=max_iterations, mesh=mesh,
+            restart_chunk=restart_chunk, **solver_kwargs)
         elapsed = time.perf_counter() - start
         recon = np.asarray(fit['weights'] @ fit['dictionary'].T)
         results[k] = {

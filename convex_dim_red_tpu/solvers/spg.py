@@ -451,19 +451,22 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", mask=None,
     per-block early exit (TPU only; cannot be nested under ``vmap``).
 
     ``mask`` (shared across rows) restricts every row's QP to the
-    masked sub-simplex; the Pallas kernel does not implement masking,
-    so a masked solve always takes the XLA path.
+    masked sub-simplex.  Both backends support it; on the Pallas path
+    the mask is a runtime kernel input, so masked (bucketed) and plain
+    solves of one shape share a single compiled program.
     """
-    if backend == "pallas" and mask is None:
+    if backend == "pallas":
         from ..ops.pallas_qp import (quad_simplex_qp_pallas,
                                      quad_simplex_qp_pallas_packed)
         keep = {k: v for k, v in solver_kwargs.items()
                 if k in ("max_iterations", "alpha0", "alpha_min",
-                         "alpha_max", "epsilon_one", "epsilon_two")}
+                         "alpha_max", "epsilon_one", "epsilon_two",
+                         "interpret")}
         # Lane-packed variant for small k (full VPU/MXU utilization).
         if jnp.shape(B)[1] <= 64:
-            return quad_simplex_qp_pallas_packed(A, B, X0, **keep)
-        return quad_simplex_qp_pallas(A, B, X0, **keep)
+            return quad_simplex_qp_pallas_packed(A, B, X0, mask=mask,
+                                                 **keep)
+        return quad_simplex_qp_pallas(A, B, X0, mask=mask, **keep)
     solve = lambda b, x0: quad_simplex_spg(A, b, x0, mask=mask,
                                            **solver_kwargs)
     return jax.vmap(solve)(B, X0)

@@ -232,3 +232,41 @@ def test_screened_restarts_reject_mesh():
     with pytest.raises(NotImplementedError):
         aa_fit_restarts(X, 3, jax.random.PRNGKey(0), n_init=8,
                         mesh=mesh, screen_iterations=10)
+
+
+def test_exact_multiple_k_gets_all_true_mask():
+    """Round-2 fix: k equal to the bucket size must reuse the masked
+    bucket program (all-true mask), not compile a separate maskless
+    program — each extra protocol-scale program pays the relay's
+    first-dispatch cost."""
+    from convex_dim_red_tpu.parallel.restarts import _padded_components
+
+    k_fit, mask = _padded_components(4, 4)
+    assert k_fit == 4
+    assert mask is not None and bool(jnp.all(mask))
+
+    k_fit, mask = _padded_components(3, None)
+    assert (k_fit, mask) == (3, None)
+
+    # Pad smaller than k: no padding (caller error tolerated).
+    k_fit, mask = _padded_components(5, 4)
+    assert (k_fit, mask) == (5, None)
+
+
+def test_pallas_backend_masked_matches_xla():
+    """Masked (bucketed) QPs run fused on the Pallas path too (round-2:
+    the silent XLA fallback is gone); masked pallas must agree with the
+    masked XLA solve and pin masked coordinates to exact zero."""
+    rng = np.random.RandomState(13)
+    M = rng.standard_normal((8, 10))
+    A = jnp.asarray(M @ M.T + 0.1 * np.eye(8))
+    B = jnp.asarray(rng.standard_normal((9, 8)))
+    X0 = jnp.asarray(rng.dirichlet(np.ones(8), 9))
+    mask = jnp.asarray(np.arange(8) < 5)
+    ref = np.asarray(quad_simplex_spg_batch(A, B, X0, backend='xla',
+                                            mask=mask))
+    out = np.asarray(quad_simplex_spg_batch(A, B, X0, backend='pallas',
+                                            mask=mask, interpret=True))
+    assert np.allclose(out.sum(axis=1), 1.0, atol=1e-8)
+    assert np.all(out[:, 5:] == 0.0)
+    assert np.allclose(out, ref, atol=5e-5)

@@ -93,3 +93,41 @@ def test_packed_padding_does_not_leak():
     X_sub = np.asarray(quad_simplex_qp_pallas_packed(
         A, B[:9], X0[:9], max_iterations=300, interpret=True))
     assert np.allclose(X_full[:9], X_sub, atol=1e-7)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pallas_masked_matches_masked_xla(packed):
+    """Runtime component masks (padded-k bucketing) in both kernel
+    variants: masked lanes pinned to exact zero, active block matching
+    the masked XLA solve."""
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_packed)
+    rng = np.random.RandomState(7)
+    k, m, n = (6, 4, 33) if packed else (70, 50, 17)
+    A, B, X0 = _problem(rng, n, k)
+    mask = np.arange(k) < m
+
+    kern = quad_simplex_qp_pallas_packed if packed \
+        else quad_simplex_qp_pallas
+    Xp = np.asarray(kern(A, B, X0, max_iterations=800, interpret=True,
+                         mask=mask))
+    Xx = np.asarray(quad_simplex_spg_batch(A, B, X0, backend='xla',
+                                           max_iterations=800,
+                                           mask=np.asarray(mask)))
+    assert np.all(Xp[:, m:] == 0.0)
+    assert np.allclose(Xp.sum(axis=1), 1.0, atol=1e-6)
+    gap = _obj(Xp, A, B) - _obj(Xx, A, B)
+    assert np.abs(gap).max() < 1e-6
+
+
+def test_pallas_all_true_mask_equals_no_mask():
+    """An all-true mask must be exactly the unmasked solve (the
+    exact-multiple-k bucketing path)."""
+    rng = np.random.RandomState(8)
+    A, B, X0 = _problem(rng, 24, 5)
+    X_plain = np.asarray(quad_simplex_qp_pallas(
+        A, B, X0, max_iterations=400, interpret=True))
+    X_mask = np.asarray(quad_simplex_qp_pallas(
+        A, B, X0, max_iterations=400, interpret=True,
+        mask=np.ones(5, bool)))
+    assert np.allclose(X_plain, X_mask, atol=1e-12)

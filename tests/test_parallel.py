@@ -327,18 +327,19 @@ def test_restart_sharding_is_structural():
     mesh = create_mesh(shape=(8,), axis_names=("restarts",))
 
     run = _make_aa_run(
-        mesh, 'restarts', 8, n_components=3, init='random',
+        mesh, 'restarts', n_components=3, init='random',
         max_iterations=50, n_extra_steps=10, criterion='abs_delta_f',
         do_scale=False, has_data=True, dict_cfg=SPGSolverConfig(),
         weights_cfg=QPSolverConfig(), scale_cfg=SPGSolverConfig())
 
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    n_valid = jnp.asarray(8, jnp.int32)
     lowered = run.lower(jnp.asarray(X), keys,
                         jnp.asarray(0.0, X.dtype),
-                        jnp.asarray(1e-8, X.dtype))
+                        jnp.asarray(1e-8, X.dtype), None, n_valid)
     compiled = lowered.compile()
     out = run(jnp.asarray(X), keys, jnp.asarray(0.0, X.dtype),
-              jnp.asarray(1e-8, X.dtype))
+              jnp.asarray(1e-8, X.dtype), None, n_valid)
     costs = out[4]
     # Per-restart costs come back sharded over the restart axis: one
     # cost per device, never replicated.
@@ -388,3 +389,48 @@ def test_sharded_fit_rejects_pallas_backend():
     with pytest.raises(ValueError, match="pallas"):
         sharded_aa_fit(mesh, X, Zs, Cs, alphas,
                        weights_solver_kwargs={'backend': 'pallas'})
+
+
+def test_mesh_partial_final_chunk_masks_pad_restarts():
+    """Runtime n_valid (round-2 fix): a final partial chunk is tiled up
+    to the mesh axis size but its pad restarts must be excluded from
+    keep-best and from the reported per-restart arrays, and chunked
+    results must equal the unchunked mesh run restart-for-restart."""
+    rng = np.random.RandomState(21)
+    X, _ = _planted(rng)
+    mesh = create_mesh(shape=(4,), axis_names=("restarts",),
+                       devices=jax.devices()[:4])
+
+    kwargs = dict(init='random', tolerance=1e-8, max_iterations=60,
+                  mesh=mesh)
+    full = aa_fit_restarts(X, 3, jax.random.PRNGKey(5), n_init=6,
+                           **kwargs)
+    chunked = aa_fit_restarts(X, 3, jax.random.PRNGKey(5), n_init=6,
+                              restart_chunk=4, **kwargs)
+    assert chunked['costs'].shape == (6,)
+    # Different chunk batch shapes change matmul reduction order, so
+    # per-restart costs agree only to accumulated float noise; the
+    # semantics under test are the pad-restart exclusion and keep-best.
+    assert np.allclose(chunked['costs'], full['costs'],
+                       rtol=1e-2, atol=1e-10)
+    assert chunked['cost'] == pytest.approx(full['cost'], rel=1e-2)
+    assert chunked['best_index'] == full['best_index']
+
+
+def test_gpnh_restart_chunk_equivalence():
+    """GPNH restart chunking (round-2 TPU-watchdog guard) must keep
+    identical keep-best semantics to the single-execution run."""
+    from convex_dim_red_tpu.parallel.restarts import gpnh_fit_restarts
+    rng = np.random.RandomState(22)
+    X, _ = _planted(rng, n_samples=40)
+
+    kwargs = dict(tolerance=1e-9, max_iterations=60, init='random')
+    full = gpnh_fit_restarts(X, 3, jax.random.PRNGKey(7), n_init=9,
+                             **kwargs)
+    chunked = gpnh_fit_restarts(X, 3, jax.random.PRNGKey(7), n_init=9,
+                                restart_chunk=4, **kwargs)
+    assert chunked['costs'].shape == (9,)
+    assert np.allclose(chunked['costs'], full['costs'],
+                       rtol=1e-12, atol=1e-14)
+    assert chunked['cost'] == pytest.approx(full['cost'])
+    assert chunked['best_index'] == full['best_index']
