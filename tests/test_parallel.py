@@ -434,3 +434,43 @@ def test_gpnh_restart_chunk_equivalence():
                        rtol=1e-12, atol=1e-14)
     assert chunked['cost'] == pytest.approx(full['cost'])
     assert chunked['best_index'] == full['best_index']
+
+
+def test_mesh_with_padded_components_matches_unsharded():
+    """Padded-k bucketing composed with mesh sharding: the component
+    mask rides shard_map as a replicated runtime operand."""
+    rng = np.random.RandomState(23)
+    X, _ = _planted(rng)
+    mesh = create_mesh(shape=(8,), axis_names=("restarts",))
+
+    kwargs = dict(init='random', tolerance=1e-9, max_iterations=150,
+                  pad_components_to=8)
+    sharded = aa_fit_restarts(X, 3, jax.random.PRNGKey(9), n_init=8,
+                              mesh=mesh, **kwargs)
+    plain = aa_fit_restarts(X, 3, jax.random.PRNGKey(9), n_init=8,
+                            **kwargs)
+    assert sharded['weights'].shape == (64, 3)
+    assert np.allclose(np.asarray(sharded['costs']),
+                       np.asarray(plain['costs']), rtol=1e-6)
+    assert sharded['best_index'] == plain['best_index']
+
+
+def test_gpnh_mesh_with_restart_chunk():
+    """GPNH chunking composed with mesh sharding: chunks are padded to
+    the restart axis and pad restarts masked by the runtime n_valid."""
+    from convex_dim_red_tpu.parallel.restarts import gpnh_fit_restarts
+    rng = np.random.RandomState(24)
+    X, _ = _planted(rng, n_samples=40)
+    mesh = create_mesh(shape=(4,), axis_names=("restarts",),
+                       devices=jax.devices()[:4])
+
+    kwargs = dict(tolerance=1e-9, max_iterations=60, init='random',
+                  mesh=mesh)
+    full = gpnh_fit_restarts(X, 3, jax.random.PRNGKey(2), n_init=6,
+                             **kwargs)
+    chunked = gpnh_fit_restarts(X, 3, jax.random.PRNGKey(2), n_init=6,
+                                restart_chunk=4, **kwargs)
+    assert chunked['costs'].shape == (6,)
+    assert np.allclose(chunked['costs'], full['costs'],
+                       rtol=1e-2, atol=1e-10)
+    assert chunked['best_index'] == full['best_index']
