@@ -270,3 +270,21 @@ def test_pallas_backend_masked_matches_xla():
     assert np.allclose(out.sum(axis=1), 1.0, atol=1e-8)
     assert np.all(out[:, 5:] == 0.0)
     assert np.allclose(out, ref, atol=5e-5)
+
+
+def test_screened_restarts_compose_with_padding():
+    """Screening + component padding together (the bucketed-sweep fast
+    path, benchmarks/config5_screened_ab.py): padded components stay
+    exactly zero through screen -> prune -> resume, and the planted
+    factorization is still recovered."""
+    rng = np.random.RandomState(11)
+    X = _planted(rng)
+    res = aa_fit_restarts(X, 3, jax.random.PRNGKey(0), n_init=8,
+                          init='random', tolerance=1e-10,
+                          max_iterations=300, pad_components_to=8,
+                          screen_iterations=20, screen_keep=0.5)
+    assert res['cost'] < 1e-6
+    assert res['weights'].shape == (48, 3)
+    assert res['costs'].shape == (8,)
+    assert np.sum(res['n_iters'] > 20) <= 4
+    assert np.allclose(np.asarray(res['weights']).sum(1), 1, atol=1e-10)
