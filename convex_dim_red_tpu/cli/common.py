@@ -141,9 +141,18 @@ def load_field(input_file, var_name, time_name, lat_name=None,
         ds = ds.sel_range(lat_name, min_latitude, max_latitude)
 
     if restrict_to_base_period:
-        b0 = int(ds.attrs.get('base_period_start_year'))
-        b1 = int(ds.attrs.get('base_period_end_year'))
-        ds = ds.sel_time_years(time_name, b0, b1)
+        # Gridded anomaly products carry base_period_* attrs; EOF/PC
+        # products carry eofs_* (the climatology period the EOFs were
+        # computed over — reference bin/run_jra55_pca_aa.py:247-258).
+        b0 = ds.attrs.get('base_period_start_year',
+                          ds.attrs.get('eofs_start_year'))
+        b1 = ds.attrs.get('base_period_end_year',
+                          ds.attrs.get('eofs_end_year'))
+        if b0 is None or b1 is None:
+            raise ValueError(
+                'restrict_to_base_period needs base_period_*_year or '
+                'eofs_*_year attrs on %s' % input_file)
+        ds = ds.sel_time_years(time_name, int(b0), int(b1))
 
     var = ds[var_name]
     years, months = decode_cf_time(ds.coords[time_name]) \

@@ -77,9 +77,15 @@ def _write_output(args, spec, field, missing, result_vars, attrs,
         n_components=args.n_components,
         attrs=attrs, pattern_name=pattern_name)
     out.attrs['input_file'] = args.input_file
-    for key in ('base_period_start_year', 'base_period_end_year'):
+    # PC (EOF-product) inputs carry the climatology period as eofs_*;
+    # the reference PC drivers echo it as base_period_* on the output
+    # (bin/run_jra55_pca_aa.py:268-269).
+    for key, alt in (('base_period_start_year', 'eofs_start_year'),
+                     ('base_period_end_year', 'eofs_end_year')):
         if key in ds.attrs:
             out.attrs[key] = str(ds.attrs[key])
+        elif alt in ds.attrs:
+            out.attrs[key] = str(ds.attrs[alt])
     if args.random_seed is not None:
         out.attrs['random_seed'] = '{:d}'.format(args.random_seed)
     out.to_netcdf(args.output_file)
@@ -106,9 +112,11 @@ def _aa_main(spec, description, dictionary_solver_kwargs,
                             default=10)
         parser.add_argument('--standardized', dest='standardized',
                             action='store_true')
-        parser.add_argument('--restrict-to-base-period',
-                            dest='restrict_to_base_period',
-                            action='store_true')
+    # Non-gridded (PC) drivers have this too, restricting to the EOFs'
+    # climatology period (reference bin/run_jra55_pca_aa.py:64, :255).
+    parser.add_argument('--restrict-to-base-period',
+                        dest='restrict_to_base_period',
+                        action='store_true')
     if standardize:
         parser.add_argument('--standardize', dest='standardize',
                             action='store_true')
@@ -180,9 +188,11 @@ def _gpnh_main(spec, description, weights_solver_kwargs, stopping_criterion,
                             default=10)
         parser.add_argument('--standardized', dest='standardized',
                             action='store_true')
-        parser.add_argument('--restrict-to-base-period',
-                            dest='restrict_to_base_period',
-                            action='store_true')
+    # Non-gridded (PC) drivers have this too, restricting to the EOFs'
+    # climatology period (reference bin/run_jra55_pca_aa.py:64, :255).
+    parser.add_argument('--restrict-to-base-period',
+                        dest='restrict_to_base_period',
+                        action='store_true')
     if standardize:
         parser.add_argument('--standardize', dest='standardize',
                             action='store_true')
@@ -339,6 +349,16 @@ def _pca_main(spec, description, argv=None):
     for key in ('base_period_start_year', 'base_period_end_year'):
         if key in ds.attrs:
             out.attrs[key] = str(ds.attrs[key])
+    # The PC drivers read the EOFs' climatology period from eofs_*
+    # attrs (reference bin/run_jra55_pca_aa.py:247-248): the input's
+    # base period if recorded, else the analyzed year span.
+    years = field['years']
+    out.attrs['eofs_start_year'] = str(
+        ds.attrs.get('base_period_start_year',
+                     int(years.min()) if years is not None else ''))
+    out.attrs['eofs_end_year'] = str(
+        ds.attrs.get('base_period_end_year',
+                     int(years.max()) if years is not None else ''))
     if args.random_seed is not None:
         out.attrs['random_seed'] = '{:d}'.format(args.random_seed)
     out.to_netcdf(args.output_file)
@@ -376,9 +396,11 @@ def _kmeans_main(spec, description, gridded=True, standardize=False,
                             default=spec.default_lat_weights)
         parser.add_argument('--standardized', dest='standardized',
                             action='store_true')
-        parser.add_argument('--restrict-to-base-period',
-                            dest='restrict_to_base_period',
-                            action='store_true')
+    # Non-gridded (PC) drivers have this too, restricting to the EOFs'
+    # climatology period (reference bin/run_jra55_pca_kmeans.py:255-258).
+    parser.add_argument('--restrict-to-base-period',
+                        dest='restrict_to_base_period',
+                        action='store_true')
     if cross_validate_flags:
         parser.add_argument('--cross-validate', dest='cross_validate',
                             action='store_true',

@@ -378,3 +378,45 @@ def test_jra55_pca_kmeans_driver_end_to_end(synthetic_jra55, tmp_path):
                       "--n-trials", "4", "--reference", "pca",
                       "--random-seed", "0"])
     assert 'gap_statistic' in ds.attrs
+
+
+def test_pc_driver_restrict_to_base_period(synthetic_jra55, tmp_path):
+    # Reference PC drivers restrict the PCs to the EOFs' climatology
+    # period via the eofs_{start,end}_year attrs and echo it as
+    # base_period_* on the output (run_jra55_pca_aa.py:247-269).
+    _, pcs = synthetic_jra55  # 15 years from 1958, eofs attrs 1958-1972
+    ds = open_dataset(pcs)
+    ds.attrs['eofs_start_year'] = '1958'
+    ds.attrs['eofs_end_year'] = '1964'
+    short = str(tmp_path / "pcs_short.nc")
+    ds.to_netcdf(short)
+
+    from convex_dim_red_tpu.pipelines.dataset import decode_cf_time
+    years, _ = decode_cf_time(ds.coords['initial_time0_hours'])
+    n_base = int(((years >= 1958) & (years <= 1964)).sum())
+    assert abs(n_base - 7 * 12) <= 1  # synthetic axis is ~monthly
+
+    out = _run_driver("jra55_pca_aa", short, tmp_path,
+                      ["--n-components", "2", "--n-init", "2",
+                       "--tolerance", "1e-4", "--max-iterations", "30",
+                       "--random-seed", "0",
+                       "--restrict-to-base-period"])
+    assert out['weights'].data.shape[0] == n_base
+    assert out.attrs['base_period_start_year'] == '1958'
+    assert out.attrs['base_period_end_year'] == '1964'
+
+    full = _run_driver("jra55_pca_aa", short, tmp_path,
+                       ["--n-components", "2", "--n-init", "2",
+                        "--tolerance", "1e-4", "--max-iterations", "30",
+                        "--random-seed", "0"])
+    assert full['weights'].data.shape[0] == 15 * 12
+
+
+def test_pca_product_carries_eofs_period_attrs(synthetic_jra55, tmp_path):
+    # The jra55_pca product must be consumable by the reference PC
+    # drivers, which read eofs_{start,end}_year unconditionally.
+    grid, _ = synthetic_jra55  # 15 years from 1958
+    ds = _run_driver("jra55_pca", grid, tmp_path,
+                     ["--n-components", "3", "--random-seed", "0"])
+    assert ds.attrs['eofs_start_year'] == '1958'
+    assert ds.attrs['eofs_end_year'] == '1972'
