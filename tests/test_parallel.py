@@ -474,3 +474,87 @@ def test_gpnh_mesh_with_restart_chunk():
     assert np.allclose(chunked['costs'], full['costs'],
                        rtol=1e-2, atol=1e-10)
     assert chunked['best_index'] == full['best_index']
+
+
+def test_sharded_kmeans_matches_single_device():
+    from convex_dim_red_tpu.models.kmeans import kmeans_fit
+    from convex_dim_red_tpu.parallel.sharded_models import sharded_kmeans_fit
+
+    rng = np.random.RandomState(7)
+    X = np.concatenate([rng.standard_normal((16, 5)) + 4 * e
+                        for e in np.eye(5)[:3]])  # 48 rows, 3 blobs
+    mesh = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+    key = jax.random.PRNGKey(0)
+
+    res = sharded_kmeans_fit(mesh, jnp.asarray(X), key, n_clusters=3,
+                             n_init=4, max_iter=100)
+    c0, l0, inertia0, _ = kmeans_fit(jnp.asarray(X), key, n_clusters=3,
+                                     n_init=4, max_iter=100)
+
+    # Same restart keys, same math (categorical over the gathered
+    # distance vector == the single-device draw): identical selection.
+    assert float(res['inertia']) == pytest.approx(float(inertia0),
+                                                  rel=1e-8)
+    order = np.lexsort(np.asarray(res['centroids']).T)
+    order0 = np.lexsort(np.asarray(c0).T)
+    assert np.allclose(np.asarray(res['centroids'])[order],
+                       np.asarray(c0)[order0], atol=1e-8)
+    assert res['labels'].shape == (48,)
+    assert res['inertias'].shape == (4,)
+    assert float(res['inertia']) == pytest.approx(
+        float(np.asarray(res['inertias']).min()), rel=1e-12)
+
+
+def test_sharded_kmeans_random_init():
+    from convex_dim_red_tpu.models.kmeans import kmeans_fit
+    from convex_dim_red_tpu.parallel.sharded_models import sharded_kmeans_fit
+
+    rng = np.random.RandomState(8)
+    X = rng.standard_normal((32, 4))
+    mesh = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+    key = jax.random.PRNGKey(3)
+
+    res = sharded_kmeans_fit(mesh, jnp.asarray(X), key, n_clusters=2,
+                             n_init=2, init='random', max_iter=50)
+    _, _, inertia0, _ = kmeans_fit(jnp.asarray(X), key, n_clusters=2,
+                                   n_init=2, init='random', max_iter=50)
+    assert float(res['inertia']) == pytest.approx(float(inertia0),
+                                                  rel=1e-8)
+    # Inertia is consistent with the returned centroids/labels.
+    C = np.asarray(res['centroids'])
+    labels = np.asarray(res['labels'])
+    recomputed = np.sum((X - C[labels]) ** 2)
+    assert float(res['inertia']) == pytest.approx(recomputed, rel=1e-10)
+
+
+def test_sharded_pca_matches_dense_svd():
+    from convex_dim_red_tpu.parallel.sharded_models import sharded_pca
+
+    rng = np.random.RandomState(9)
+    X = rng.standard_normal((20, 64)) @ np.diag(
+        np.linspace(3, 0.1, 64))
+    mesh = create_mesh(shape=(8,), axis_names=("samples",))
+
+    res = sharded_pca(mesh, jnp.asarray(X), n_components=4,
+                      feature_axis="samples")
+    Xc = X - X.mean(axis=0)
+    U, S, Vh = np.linalg.svd(Xc, full_matrices=False)
+
+    assert np.allclose(np.asarray(res['singular_values']), S[:4],
+                       rtol=1e-9)
+    assert np.allclose(np.asarray(res['explained_variance']),
+                       S[:4] ** 2 / (20 - 1), rtol=1e-9)
+    assert np.allclose(np.asarray(res['mean']), X.mean(axis=0),
+                       atol=1e-12)
+    # Components/scores match up to per-component sign.
+    comps = np.asarray(res['components'])
+    scores = np.asarray(res['scores'])
+    for j in range(4):
+        sign = np.sign(comps[j] @ Vh[j])
+        assert np.allclose(sign * comps[j], Vh[j], atol=1e-8)
+        assert np.allclose(sign * scores[:, j], U[:, j] * S[j],
+                           atol=1e-8)
+    # Reconstruction from the sharded factors.
+    assert np.allclose(scores @ comps + np.asarray(res['mean']),
+                       U[:, :4] * S[:4] @ Vh[:4] + X.mean(axis=0),
+                       atol=1e-8)
