@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
@@ -41,7 +42,7 @@ from ..models.kmeans import _sq_dists
 from ..utils.precision import apply_matmul_precision
 from .sharded_aa import _select_best
 
-__all__ = ["sharded_kmeans_fit", "sharded_pca"]
+__all__ = ["sharded_kmeans_fit", "sharded_pca", "sharded_gap_statistic"]
 
 
 @apply_matmul_precision
@@ -233,3 +234,71 @@ def sharded_pca(mesh, X, *, n_components, center=True,
         'explained_variance': explained,
         'singular_values': svals,
     }
+
+
+@apply_matmul_precision
+def sharded_gap_statistic(mesh, X, Wk, n_components, *, n_trials=100,
+                          reference='uniform', random_state=None,
+                          trial_axis="restarts", n_init=10, max_iter=300):
+    """Gap statistic with the reference-draw trials sharded over the
+    mesh (SURVEY §2.4 P2: the reference forks joblib processes per
+    trial, kmeans.py:97-100; on device the trials are embarrassingly
+    parallel and only the final mean/std cross shards via ``psum``).
+
+    Same per-trial PRNG keys as the single-device
+    ``models.kmeans.gap_statistic``, so the returned ``(gap, sk)``
+    matches it up to reduction order.  ``n_trials`` must divide the
+    ``trial_axis`` size.
+    """
+    from ..models.archetypal_analysis import _as_key
+    from ..models.kmeans import _kmeans_fit_inline
+
+    if reference not in ('uniform', 'pca'):
+        raise ValueError("unrecognized reference distribution '%s'"
+                         % reference)
+    X = jnp.asarray(X)
+    keys = jax.random.split(_as_key(random_state), n_trials)
+    k = int(n_components)
+    n_svd = int(min(100, X.shape[0], X.shape[1]))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(trial_axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def stats(X_rep, keys_loc):
+        if reference == 'uniform':
+            fmin = jnp.min(X_rep, axis=0)
+            fmax = jnp.max(X_rep, axis=0)
+
+            def draw(sub):
+                return fmin + (fmax - fmin) * jax.random.uniform(
+                    sub, X_rep.shape, dtype=X_rep.dtype)
+        else:
+            _, _, Vh = jnp.linalg.svd(X_rep, full_matrices=False)
+            Vh = Vh[:n_svd]
+            Xp = X_rep @ Vh.T
+            fmin = jnp.min(Xp, axis=0)
+            fmax = jnp.max(Xp, axis=0)
+
+            def draw(sub):
+                u = fmin + (fmax - fmin) * jax.random.uniform(
+                    sub, Xp.shape, dtype=X_rep.dtype)
+                return u @ Vh
+
+        def one_trial(key):
+            key, sub = jax.random.split(key)
+            _, _, inertia, _ = _kmeans_fit_inline(
+                draw(sub), key, k, n_init, max_iter)
+            return jnp.log(inertia)
+
+        ln = jax.lax.map(one_trial, keys_loc)
+        m1 = jax.lax.psum(jnp.sum(ln), trial_axis)
+        m2 = jax.lax.psum(jnp.sum(ln * ln), trial_axis)
+        mean = m1 / n_trials
+        std = jnp.sqrt(jnp.maximum(m2 / n_trials - mean * mean, 0.0))
+        return mean, std
+
+    mean, std = stats(X, keys)
+    sk = float(std) * float(np.sqrt(1.0 + 1.0 / n_trials))
+    return float(mean) - float(np.log(Wk)), sk

@@ -558,3 +558,25 @@ def test_sharded_pca_matches_dense_svd():
     assert np.allclose(scores @ comps + np.asarray(res['mean']),
                        U[:, :4] * S[:4] @ Vh[:4] + X.mean(axis=0),
                        atol=1e-8)
+
+
+def test_sharded_gap_statistic_matches_single_device():
+    from convex_dim_red_tpu.models.kmeans import gap_statistic
+    from convex_dim_red_tpu.parallel.sharded_models import (
+        sharded_gap_statistic)
+
+    rng = np.random.RandomState(11)
+    X = np.concatenate([rng.standard_normal((12, 4)) + 3 * e
+                        for e in np.eye(4)[:2]])
+    mesh = create_mesh(shape=(8,), axis_names=("restarts",))
+
+    for reference in ('uniform', 'pca'):
+        gap0, sk0 = gap_statistic(X, Wk=50.0, n_components=2,
+                                  n_trials=16, reference=reference,
+                                  random_state=0)
+        gap, sk = sharded_gap_statistic(
+            mesh, X, 50.0, 2, n_trials=16, reference=reference,
+            random_state=0)
+        # Same per-trial keys, trials distributed: identical statistics.
+        assert gap == pytest.approx(gap0, rel=1e-10)
+        assert sk == pytest.approx(sk0, rel=1e-10)
