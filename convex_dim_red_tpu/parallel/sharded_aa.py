@@ -37,13 +37,14 @@ from jax import shard_map
 
 from ..models._common import (QPSolverConfig, SPGSolverConfig, make_config,
                               has_converged)
-from ..models.archetypal_analysis import _spg_cfg_to_quad_kwargs
+from ..models.archetypal_analysis import (_cost_from_parts,
+                                          _spg_cfg_to_quad_kwargs)
 from ..ops.simplex_projection import simplex_project_rows
 from ..solvers.spg import quad_spg, quad_simplex_spg_batch
 from ..utils.precision import apply_matmul_precision
 
 __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
-           "sharded_gpnh_fit"]
+           "sharded_kernel_aa_fit", "sharded_gpnh_fit"]
 
 
 
@@ -86,7 +87,7 @@ def distributed_gram(mesh, X, feature_axis="samples"):
 
 def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
                       dict_kwargs, weights_kwargs, scale_kwargs,
-                      sample_axis):
+                      sample_axis, trace_K=None):
     """One AA alternating iteration on a sample-sharded state.
 
     Mirrors the update order and factorization of the single-device core
@@ -95,9 +96,13 @@ def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
     crossing sample shards via ``psum``/``all_gather``.
 
     ``X_loc``/``K_loc``/``Z_loc`` hold this shard's sample rows; ``C``
-    and ``alpha`` are replicated within the sample group.
+    and ``alpha`` are replicated within the sample group.  For
+    kernel-only input (no data matrix), pass ``X_loc=None`` and the
+    replicated ``trace_K``: the cost uses the kernel trace form
+    (models/archetypal_analysis.kernel_aa_cost) instead of the explicit
+    residual.
     """
-    n_loc = X_loc.shape[0]
+    n_loc = K_loc.shape[0]
     n_samples = C.shape[1]
     shard = jax.lax.axis_index(sample_axis)
 
@@ -138,11 +143,18 @@ def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
     B_w = -(alpha[:, None] * cols(CK)).T             # (n_loc, k)
     Z_loc = quad_simplex_spg_batch(A, B_w, Z_loc, **weights_kwargs)
 
-    # --- residual cost (the _kernel_aa_core has_data form) ---
-    CX = jax.lax.psum(cols(C) @ X_loc, sample_axis)  # (k, d)
-    resid = Z_loc @ (alpha[:, None] * CX) - X_loc
-    cost = jax.lax.psum(jnp.sum(resid * resid), sample_axis) \
-        * 0.5 / n_samples
+    if X_loc is not None:
+        # --- residual cost (the _kernel_aa_core has_data form) ---
+        CX = jax.lax.psum(cols(C) @ X_loc, sample_axis)  # (k, d)
+        resid = Z_loc @ (alpha[:, None] * CX) - X_loc
+        cost = jax.lax.psum(jnp.sum(resid * resid), sample_axis) \
+            * 0.5 / n_samples
+    else:
+        # --- kernel trace form (no data matrix available) ---
+        CKZ = jax.lax.psum(cols(CK) @ Z_loc, sample_axis)
+        ZtZ_new = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
+        cost = _cost_from_parts(trace_K, CKZ, ZtZ_new, CKCt, alpha,
+                                n_samples)
 
     return Z_loc, C, alpha, cost
 
@@ -156,6 +168,22 @@ def _aa_local_cost(X_loc, Z_loc, C, alpha, sample_axis):
     resid = Z_loc @ (alpha[:, None] * CX) - X_loc
     return jax.lax.psum(jnp.sum(resid * resid), sample_axis) \
         * 0.5 / n_samples
+
+
+def _kernel_aa_local_cost(K_loc, Z_loc, C, alpha, trace_K, sample_axis):
+    """Kernel trace-form cost from a row-sharded kernel."""
+    n_loc = K_loc.shape[0]
+    n_samples = C.shape[1]
+    shard = jax.lax.axis_index(sample_axis)
+
+    def cols(M):
+        return jax.lax.dynamic_slice_in_dim(M, shard * n_loc, n_loc, axis=1)
+
+    CK = jax.lax.psum(cols(C) @ K_loc, sample_axis)
+    CKZ = jax.lax.psum(cols(CK) @ Z_loc, sample_axis)
+    CKCt = CK @ C.T
+    ZtZ = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
+    return _cost_from_parts(trace_K, CKZ, ZtZ, CKCt, alpha, n_samples)
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +390,97 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
 
     (Z, C, alpha, cost, n_iter, trace, costs, n_iters) = fit(
         X, Zs, Cs, alphas)
+    return {
+        'weights': Z,
+        'dictionary': alpha[:, None] * C if do_scale else C,
+        'alpha': alpha,
+        'cost': cost,
+        'n_iter': n_iter,
+        'cost_deltas': trace,
+        'costs': costs,
+        'n_iters': n_iters,
+    }
+
+
+@apply_matmul_precision
+def sharded_kernel_aa_fit(mesh, K, Zs, Cs, alphas, *, delta=0.0,
+                          tolerance=1e-6, max_iterations=100,
+                          stopping_criterion='abs_delta_f',
+                          dictionary_solver_kwargs=None,
+                          weights_solver_kwargs=None,
+                          scale_factors_solver_kwargs=None,
+                          n_valid_restarts=None,
+                          restart_axis="restarts",
+                          sample_axis="samples"):
+    """Full sharded KernelAA fit from a precomputed kernel.
+
+    Same contract as :func:`sharded_aa_fit`, but takes the (n, n)
+    kernel ``K`` with ROWS sharded over ``sample_axis`` instead of the
+    data matrix (the reference ``KernelAA`` surface,
+    archetypal_analysis.py:673-910).  The convergence cost uses the
+    kernel trace form (models/archetypal_analysis.kernel_aa_cost); the
+    update math is identical.  ``K`` from sharded data can be formed
+    with :func:`distributed_gram`.
+    """
+    n_restarts = Zs.shape[0]
+    if n_valid_restarts is None:
+        n_valid_restarts = n_restarts
+    do_scale = float(delta) != 0.0
+
+    dict_kwargs = _spg_cfg_to_quad_kwargs(
+        make_config(SPGSolverConfig, dictionary_solver_kwargs))
+    weights_kwargs = _xla_weights_kwargs(weights_solver_kwargs)
+    scale_kwargs = _spg_cfg_to_quad_kwargs(
+        make_config(SPGSolverConfig, scale_factors_solver_kwargs))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(sample_axis, None),
+                  P(restart_axis, sample_axis, None),
+                  P(restart_axis, None, None),
+                  P(restart_axis, None)),
+        out_specs=(P(sample_axis, None),   # best Z (rows sharded)
+                   P(),                    # best C
+                   P(),                    # best alpha
+                   P(),                    # best cost
+                   P(),                    # best n_iter
+                   P(),                    # best cost-delta trace
+                   P(restart_axis),        # all costs
+                   P(restart_axis)),       # all n_iters
+        check_vma=False)
+    def fit(K_loc, Zs_loc, Cs_loc, alphas_loc):
+        n_loc = K_loc.shape[0]
+        shard = jax.lax.axis_index(sample_axis)
+        diag_block = jax.lax.dynamic_slice_in_dim(
+            K_loc, shard * n_loc, n_loc, axis=1)
+        trace_K = jax.lax.psum(jnp.trace(diag_block), sample_axis)
+
+        def iterate(Z_loc, C, alpha):
+            return _aa_local_iterate(
+                None, K_loc, Z_loc, C, alpha, delta=delta,
+                do_scale=do_scale, dict_kwargs=dict_kwargs,
+                weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
+                sample_axis=sample_axis, trace_K=trace_K)
+
+        cost0 = jax.vmap(
+            lambda Z, C, a: _kernel_aa_local_cost(
+                K_loc, Z, C, a, trace_K, sample_axis)
+        )(Zs_loc, Cs_loc, alphas_loc)
+
+        states, costs, trace, n_iters = _keep_best_loop(
+            (Zs_loc, Cs_loc, alphas_loc), cost0, iterate,
+            tolerance=tolerance, criterion=stopping_criterion,
+            max_iterations=max_iterations)
+
+        best, best_cost, best_n_iter, best_trace = _select_best(
+            states, costs, trace, n_iters, n_valid=n_valid_restarts,
+            restart_axis=restart_axis)
+        Z_best, C_best, alpha_best = best
+        return (Z_best, C_best, alpha_best, best_cost, best_n_iter,
+                best_trace, costs, n_iters)
+
+    (Z, C, alpha, cost, n_iter, trace, costs, n_iters) = fit(
+        K, Zs, Cs, alphas)
     return {
         'weights': Z,
         'dictionary': alpha[:, None] * C if do_scale else C,

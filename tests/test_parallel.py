@@ -580,3 +580,44 @@ def test_sharded_gap_statistic_matches_single_device():
         # Same per-trial keys, trials distributed: identical statistics.
         assert gap == pytest.approx(gap0, rel=1e-10)
         assert sk == pytest.approx(sk0, rel=1e-10)
+
+
+def test_sharded_kernel_aa_fit_matches_data_space():
+    from convex_dim_red_tpu.parallel.sharded_aa import (
+        sharded_aa_fit, sharded_kernel_aa_fit)
+
+    rng = np.random.RandomState(12)
+    n, k, R = 32, 3, 4
+    X, _ = _planted(rng, n_samples=n, n_components=k, n_features=6)
+    K = X @ X.T
+    Zs = rng.uniform(size=(R, n, k))
+    Zs /= Zs.sum(axis=2, keepdims=True)
+    Cs = rng.uniform(size=(R, k, n))
+    Cs /= Cs.sum(axis=2, keepdims=True)
+    alphas = np.ones((R, k))
+    mesh = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+
+    res_k = sharded_kernel_aa_fit(
+        mesh, jnp.asarray(K), jnp.asarray(Zs), jnp.asarray(Cs),
+        jnp.asarray(alphas), tolerance=1e-10, max_iterations=150)
+    res_d = sharded_aa_fit(
+        mesh, jnp.asarray(X), jnp.asarray(Zs), jnp.asarray(Cs),
+        jnp.asarray(alphas), tolerance=1e-10, max_iterations=150)
+
+    # Identical updates; only the cost form differs (trace vs explicit
+    # residual), so trajectories agree to float64 cancellation noise.
+    assert np.allclose(np.asarray(res_k['costs']),
+                       np.asarray(res_d['costs']), atol=1e-8)
+    assert float(res_k['cost']) < 1e-6
+    assert np.allclose(np.asarray(res_k['weights']).sum(axis=1), 1,
+                       atol=1e-10)
+    assert np.allclose(np.asarray(res_k['dictionary']).sum(axis=1), 1,
+                       atol=1e-10)
+
+    # delta != 0: the scale-factor update stays in its box.
+    res_s = sharded_kernel_aa_fit(
+        mesh, jnp.asarray(K), jnp.asarray(Zs), jnp.asarray(Cs),
+        jnp.asarray(alphas), delta=0.1, tolerance=1e-10,
+        max_iterations=50)
+    a = np.asarray(res_s['alpha'])
+    assert (a >= 0.9 - 1e-12).all() and (a <= 1.1 + 1e-12).all()
