@@ -14,6 +14,7 @@ __all__ = [
     "make_config",
     "STOPPING_CRITERIA",
     "has_converged",
+    "prepare_estimator_mesh",
 ]
 
 
@@ -81,6 +82,36 @@ def make_config(cls, kwargs):
             'Unknown solver parameters %r; valid keys: %r'
             % (sorted(unknown), sorted(valid)))
     return cls(**kwargs)
+
+
+def prepare_estimator_mesh(mesh, n_samples, whom, dim_name='n_samples'):
+    """Normalize and validate a ``mesh=`` given to an estimator.
+
+    Estimators run a SINGLE fit, so every device goes on the sample
+    axis: a 1-D mesh is lifted to ``(1, n_devices)`` and a 2-D mesh
+    must have a restart axis of size 1 (multi-restart sharding lives in
+    ``parallel.aa_fit_restarts`` / ``parallel.sharded_aa_fit``).  The
+    sample axis must divide ``n_samples`` (``shard_map`` constraint).
+    """
+    # Deferred import: parallel imports models (solver configs), so a
+    # top-level import here would be circular.
+    from ..parallel.mesh import ensure_mesh_axes
+
+    mesh = ensure_mesh_axes(mesh)
+    n_restart_shards = mesh.shape['restarts']
+    if n_restart_shards != 1:
+        raise ValueError(
+            "%s: estimator-level mesh= runs one fit, so the 'restarts' "
+            "mesh axis must have size 1 (got %d); shard multi-restart "
+            "fits with parallel.aa_fit_restarts / parallel.sharded_*_fit"
+            % (whom, n_restart_shards))
+    n_shards = mesh.shape['samples']
+    if n_samples % n_shards:
+        raise ValueError(
+            "%s: %s (%d) must be divisible by the mesh sample "
+            "axis (%d devices); pad or subset the data, or use a "
+            "smaller mesh" % (whom, dim_name, n_samples, n_shards))
+    return mesh
 
 
 STOPPING_CRITERIA = ('abs_delta_f', 'rel_delta_f')

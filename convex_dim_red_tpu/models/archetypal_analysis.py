@@ -58,7 +58,8 @@ from ..solvers.spg import quad_spg, quad_simplex_spg_batch
 from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_stochastic_matrix
 from ._common import (QPSolverConfig, SPGSolverConfig, make_config,
-                      STOPPING_CRITERIA, has_converged)
+                      STOPPING_CRITERIA, has_converged,
+                      prepare_estimator_mesh)
 
 __all__ = [
     "KernelAA",
@@ -531,17 +532,29 @@ class KernelAA:
     ``avg_time_per_iter``, ``cost_deltas``.
 
     ``random_state`` may be an int seed, ``None``, or a jax PRNG key.
+
+    TPU extension: ``mesh=`` (a ``jax.sharding.Mesh``, or any 1-D mesh
+    — lifted by ``parallel.mesh.ensure_mesh_axes``) runs the fit as an
+    explicit SPMD program over the mesh's ``samples`` axis
+    (``parallel.sharded_aa.sharded_kernel_aa_fit``): kernel rows and
+    the per-row weight QPs stay device-local, the k-sized contractions
+    cross shards over ICI.  The sharded path covers the full
+    alternating fit (``update_*=False`` sub-fits fall back to the
+    single-device core) and reports the kernel trace-form cost; the
+    in-loop monotonicity watchdog and ``verbose`` iteration tables are
+    single-device-only features.
     """
 
     def __init__(self, n_components, delta=0, init=None,
                  tolerance=1e-6, max_iterations=1000, verbose=0,
-                 random_state=None, **kwargs):
+                 random_state=None, mesh=None, **kwargs):
         self.n_components = n_components
         self.delta = delta
         self.init = init
         self.tolerance = tolerance
         self.max_iterations = max_iterations
         self.verbose = verbose
+        self.mesh = mesh
         self._key = _as_key(random_state)
         self.require_monotonic_cost_decrease = kwargs.get(
             'require_monotonic_cost_decrease', True)
@@ -636,6 +649,15 @@ class KernelAA:
             kernel, dictionary, weights, alpha,
             update_dictionary, update_weights, '_kernel_aa', **kwargs)
 
+        # Full alternating fits route to the SPMD program when a mesh
+        # is given; partial-update sub-fits (e.g. transform's
+        # weights-only solve) are small and stay single-device.
+        if (self.mesh is not None and update_dictionary and update_weights
+                and (float(self.delta) == 0.0 or update_scale_factors)
+                and data is None):
+            return self._kernel_aa_sharded(kernel, dictionary, weights,
+                                           alpha)
+
         (self.weights, self.dictionary, self.alpha, cost, n_iter,
          avg_time, cost_deltas) = iterate_kernel_aa(
             kernel, weights, dictionary, alpha, delta=self.delta,
@@ -658,6 +680,43 @@ class KernelAA:
                           % self.max_iterations, UserWarning)
 
         return cost, n_iter, avg_time, cost_deltas
+
+    def _kernel_aa_sharded(self, kernel, dictionary, weights, alpha):
+        """SPMD fit over the estimator's mesh (single restart, every
+        device on the sample axis)."""
+        # Deferred import: parallel imports this module's cost helpers.
+        from ..parallel.sharded_aa import sharded_kernel_aa_fit
+
+        mesh = prepare_estimator_mesh(self.mesh, kernel.shape[0],
+                                      'KernelAA(mesh=...)')
+        start = time.perf_counter()
+        res = sharded_kernel_aa_fit(
+            mesh, kernel, weights[None], dictionary[None], alpha[None],
+            delta=self.delta, tolerance=self.tolerance,
+            max_iterations=int(self.max_iterations),
+            stopping_criterion=self.stopping_criterion,
+            dictionary_solver_kwargs=self.dictionary_solver_kwargs,
+            weights_solver_kwargs=self.weights_solver_kwargs,
+            scale_factors_solver_kwargs=self.scale_factors_solver_kwargs)
+        cost = jax.block_until_ready(res['cost'])
+        elapsed = time.perf_counter() - start
+
+        self.weights = res['weights']
+        # The sharded fit returns the alpha-scaled dictionary
+        # (data-space convention); KernelAA stores the raw
+        # right-stochastic C like the reference (:857-868).
+        self.alpha = res['alpha']
+        if float(self.delta) != 0.0:
+            self.dictionary = res['dictionary'] / self.alpha[:, None]
+        else:
+            self.dictionary = res['dictionary']
+
+        n_iter = int(res['n_iter'])
+        if n_iter >= self.max_iterations and self.tolerance > 0:
+            warnings.warn('Maximum number of iterations %d reached.'
+                          % self.max_iterations, UserWarning)
+        cost_deltas = np.asarray(res['cost_deltas'])[:n_iter]
+        return cost, n_iter, elapsed / max(n_iter, 1), cost_deltas
 
     def fit_transform(self, data, dictionary=None, weights=None, alpha=None,
                       _data_matrix=None, **kwargs):
@@ -683,11 +742,17 @@ class ArchetypalAnalysis:
     (archetypal_analysis.py:913-1215); internally forms the Gram matrix
     once and runs the kernel-space iteration (identical mathematics; see
     module docstring).
+
+    TPU extension: ``mesh=`` runs the fit as an explicit SPMD program
+    over the mesh's ``samples`` axis
+    (``parallel.sharded_aa.sharded_aa_fit``): data rows, their kernel
+    block, and the per-row weight QPs stay device-local; the cost is
+    the same explicit-residual form as the single-device path.
     """
 
     def __init__(self, n_components, delta=0, init=None,
                  tolerance=1e-6, max_iterations=1000, verbose=0,
-                 random_state=None, **kwargs):
+                 random_state=None, mesh=None, **kwargs):
         self._kernel_model = KernelAA(
             n_components, delta=delta, init=init, tolerance=tolerance,
             max_iterations=max_iterations, verbose=verbose,
@@ -698,6 +763,7 @@ class ArchetypalAnalysis:
         self.tolerance = tolerance
         self.max_iterations = max_iterations
         self.verbose = verbose
+        self.mesh = mesh
 
         self.weights = None
         self.dictionary = None
@@ -725,6 +791,14 @@ class ArchetypalAnalysis:
         with matmul_precision_scope():
             kernel = data @ data.T
 
+        if self.mesh is not None \
+                and kwargs.get('update_dictionary', True) \
+                and kwargs.get('update_weights', True) \
+                and (float(self.delta) == 0.0
+                     or kwargs.get('update_scale_factors', True)):
+            return self._fit_sharded(data, kernel, dictionary, weights,
+                                     alpha, **kwargs)
+
         self._kernel_model.fit_transform(
             kernel, dictionary=dictionary, weights=weights, alpha=alpha,
             _data_matrix=data, **kwargs)
@@ -743,6 +817,53 @@ class ArchetypalAnalysis:
         self.dictionary = dictionary
         self.archetypes = dictionary @ data
 
+        return self.weights
+
+    def _fit_sharded(self, data, kernel, dictionary, weights, alpha,
+                     **kwargs):
+        """SPMD fit over the estimator's mesh (single restart, every
+        device on the sample axis); explicit-residual cost like the
+        single-device data path."""
+        # Deferred import: parallel imports this module's cost helpers.
+        from ..parallel.sharded_aa import sharded_aa_fit
+
+        km = self._kernel_model
+        mesh = prepare_estimator_mesh(self.mesh, data.shape[0],
+                                      'ArchetypalAnalysis(mesh=...)')
+        km._validate_params()
+        init_kwargs = {k: v for k, v in kwargs.items()
+                       if k not in ('update_dictionary', 'update_weights',
+                                    'update_scale_factors')}
+        dictionary, weights, alpha = km._prepare_state(
+            kernel, dictionary, weights, alpha, True, True,
+            'fit_transform', **init_kwargs)
+
+        start = time.perf_counter()
+        res = sharded_aa_fit(
+            mesh, data, weights[None], dictionary[None], alpha[None],
+            delta=self.delta, tolerance=self.tolerance,
+            max_iterations=int(self.max_iterations),
+            stopping_criterion=km.stopping_criterion,
+            dictionary_solver_kwargs=km.dictionary_solver_kwargs,
+            weights_solver_kwargs=km.weights_solver_kwargs,
+            scale_factors_solver_kwargs=km.scale_factors_solver_kwargs)
+        cost = jax.block_until_ready(res['cost'])
+        elapsed = time.perf_counter() - start
+
+        self.weights = res['weights']
+        self.alpha = res['alpha']
+        # sharded_aa_fit already applies the alpha scaling for
+        # delta != 0 — the data-space convention this class uses.
+        self.dictionary = res['dictionary']
+        self.archetypes = self.dictionary @ data
+        self.cost = float(cost)
+        n_iter = int(res['n_iter'])
+        self.n_iter = n_iter
+        self.avg_time_per_iter = elapsed / max(n_iter, 1)
+        self.cost_deltas = np.asarray(res['cost_deltas'])[:n_iter]
+        if n_iter >= self.max_iterations and self.tolerance > 0:
+            warnings.warn('Maximum number of iterations %d reached.'
+                          % self.max_iterations, UserWarning)
         return self.weights
 
     def fit(self, data, **kwargs):

@@ -35,7 +35,7 @@ from ..solvers.spg import quad_simplex_spg_batch
 from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_unit_axis_sums
 from ._common import (QPSolverConfig, make_config, STOPPING_CRITERIA,
-                      has_converged)
+                      has_converged, prepare_estimator_mesh)
 from .archetypal_analysis import _as_key, _scalar_dtype
 
 __all__ = [
@@ -352,17 +352,25 @@ class GPNHConvexCoding:
     ``fit_transform`` / ``transform`` / ``inverse_transform``, and fitted
     attributes ``weights``, ``dictionary``, ``cost``, ``n_iter``,
     ``avg_time_per_iter``, ``cost_deltas``.
+
+    TPU extension: ``mesh=`` runs the fit as an explicit SPMD program
+    over the mesh's ``samples`` axis
+    (``parallel.sharded_aa.sharded_gpnh_fit``): data rows and per-row
+    weight QPs stay device-local, the k-sized lstsq dictionary solve
+    runs on psum'd ``Z'Z``/``Z'X``.  Partial-update sub-fits
+    (``transform``) stay single-device.
     """
 
     def __init__(self, n_components, lambda_W=0, init=None,
                  tolerance=1e-6, max_iterations=1000,
-                 verbose=0, random_state=None, **kwargs):
+                 verbose=0, random_state=None, mesh=None, **kwargs):
         self.n_components = n_components
         self.lambda_W = lambda_W
         self.init = init
         self.tolerance = tolerance
         self.max_iterations = max_iterations
         self.verbose = verbose
+        self.mesh = mesh
         self._key = _as_key(random_state)
         self.require_monotonic_cost_decrease = kwargs.get(
             'require_monotonic_cost_decrease', True)
@@ -431,6 +439,10 @@ class GPNHConvexCoding:
             weights = initialize_gpnh_weights(
                 data, k, init=self.init, key=self._next_key())
 
+        if self.mesh is not None and update_dictionary and update_weights:
+            return self._gpnh_sharded(data, jnp.asarray(weights),
+                                      jnp.asarray(dictionary))
+
         (self.weights, self.dictionary, cost, n_iter, avg_time,
          cost_deltas) = iterate_gpnh_convex_coding(
             data, jnp.asarray(weights), jnp.asarray(dictionary),
@@ -451,6 +463,33 @@ class GPNHConvexCoding:
                           % self.max_iterations, UserWarning)
 
         return cost, n_iter, avg_time, cost_deltas
+
+    def _gpnh_sharded(self, data, weights, dictionary):
+        """SPMD fit over the estimator's mesh (single restart, every
+        device on the sample axis)."""
+        # Deferred import: parallel imports this module's helpers.
+        from ..parallel.sharded_aa import sharded_gpnh_fit
+
+        mesh = prepare_estimator_mesh(self.mesh, data.shape[0],
+                                      'GPNHConvexCoding(mesh=...)')
+        start = time.perf_counter()
+        res = sharded_gpnh_fit(
+            mesh, data, weights[None], dictionary[None],
+            lambda_W=self.lambda_W, tolerance=self.tolerance,
+            max_iterations=int(self.max_iterations),
+            stopping_criterion=self.stopping_criterion,
+            weights_solver_kwargs=self.weights_solver_kwargs)
+        cost = jax.block_until_ready(res['cost'])
+        elapsed = time.perf_counter() - start
+
+        self.weights = res['weights']
+        self.dictionary = res['dictionary']
+        n_iter = int(res['n_iter'])
+        if n_iter >= self.max_iterations and self.tolerance > 0:
+            warnings.warn('Maximum number of iterations %d reached.'
+                          % self.max_iterations, UserWarning)
+        cost_deltas = np.asarray(res['cost_deltas'])[:n_iter]
+        return cost, n_iter, elapsed / max(n_iter, 1), cost_deltas
 
     def fit_transform(self, data, dictionary=None, weights=None, **kwargs):
         """Fit to ``data`` (n_samples, n_features); return the weights."""

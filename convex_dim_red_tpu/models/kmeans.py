@@ -137,10 +137,16 @@ class KMeans:
     (reference bin/run_hadisst_kmeans.py:128-131): ``fit`` /
     ``fit_predict`` / ``predict`` and fitted attributes
     ``cluster_centers_``, ``labels_``, ``inertia_``, ``n_iter_``.
+
+    TPU extension: ``mesh=`` runs the fit as an explicit SPMD program
+    (``parallel.sharded_models.sharded_kmeans_fit``) with sample rows
+    sharded over the mesh's ``samples`` axis and the ``n_init``
+    restarts sharded over its ``restarts`` axis (padded up to the axis
+    size; padding is masked out of the best-restart selection).
     """
 
     def __init__(self, n_clusters, init='k-means++', n_init=10,
-                 max_iter=300, tol=1e-4, random_state=None):
+                 max_iter=300, tol=1e-4, random_state=None, mesh=None):
         if init not in ('k-means++', 'random'):
             raise ValueError("init must be 'k-means++' or 'random' "
                              "(reference run_hadisst_kmeans.py:48-49)")
@@ -150,6 +156,7 @@ class KMeans:
         self.max_iter = max_iter
         self.tol = tol
         self.random_state = random_state
+        self.mesh = mesh
 
         self.cluster_centers_ = None
         self.labels_ = None
@@ -162,6 +169,8 @@ class KMeans:
 
     def fit(self, X):
         X = jnp.asarray(X)
+        if self.mesh is not None:
+            return self._fit_sharded(X)
         centroids, labels, inertia, n_iter = kmeans_fit(
             X, self._key(), n_clusters=self.n_clusters,
             n_init=self.n_init, max_iter=self.max_iter, tol=self.tol,
@@ -170,6 +179,33 @@ class KMeans:
         self.labels_ = np.asarray(labels)
         self.inertia_ = float(inertia)
         self.n_iter_ = int(n_iter)
+        return self
+
+    def _fit_sharded(self, X):
+        """SPMD fit over the estimator's mesh: samples over the sample
+        axis, the n_init restarts over the restart axis."""
+        # Deferred import: parallel imports this module's helpers.
+        from ..parallel.mesh import ensure_mesh_axes
+        from ..parallel.sharded_models import sharded_kmeans_fit
+
+        mesh = ensure_mesh_axes(self.mesh)
+        n_shards = mesh.shape['samples']
+        if X.shape[0] % n_shards:
+            raise ValueError(
+                "KMeans(mesh=...): n_samples (%d) must be divisible by "
+                "the mesh sample axis (%d devices)"
+                % (X.shape[0], n_shards))
+        r_shards = mesh.shape['restarts']
+        n_init_padded = -(-self.n_init // r_shards) * r_shards
+
+        res = sharded_kmeans_fit(
+            mesh, X, self._key(), n_clusters=self.n_clusters,
+            n_init=n_init_padded, max_iter=self.max_iter, tol=self.tol,
+            init=self.init, n_valid_restarts=self.n_init)
+        self.cluster_centers_ = res['centroids']
+        self.labels_ = np.asarray(res['labels'])
+        self.inertia_ = float(res['inertia'])
+        self.n_iter_ = int(res['n_iter'])
         return self
 
     def fit_predict(self, X):

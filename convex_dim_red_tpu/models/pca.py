@@ -60,13 +60,20 @@ class PCA:
     """Principal component analysis with the sklearn-style surface the
     reference notebooks rely on: ``fit`` / ``transform`` /
     ``fit_transform`` / ``inverse_transform``, ``components_``,
-    ``explained_variance_``, ``explained_variance_ratio_``, ``mean_``."""
+    ``explained_variance_``, ``explained_variance_ratio_``, ``mean_``.
+
+    TPU extension: ``mesh=`` runs the Gram-path fit as an explicit
+    SPMD program (``parallel.sharded_models.sharded_pca``) with the
+    FEATURE dimension sharded over the mesh's ``samples`` axis — the
+    right split for the very-wide climate-grid matrices this class
+    targets (n_features >> n_samples)."""
 
     def __init__(self, n_components, center=True, use_gram='auto',
-                 tol=0.0, random_state=None):
+                 tol=0.0, random_state=None, mesh=None):
         self.n_components = n_components
         self.center = center
         self.use_gram = use_gram
+        self.mesh = mesh
         # Accepted for parity with the sklearn constructor the reference
         # notebook calls (``PCA(n_components, tol=1e-8, random_state=rng)``,
         # notebooks/hadisst_pca.ipynb run_pca cell); this implementation
@@ -88,11 +95,15 @@ class PCA:
     def fit_transform(self, X):
         X = jnp.asarray(X)
         n_samples, n_features = X.shape
-        use_gram = (n_features > 4 * n_samples
-                    if self.use_gram == 'auto' else bool(self.use_gram))
-        components, explained, mean, scores = pca_fit(
-            X, n_components=int(self.n_components), center=self.center,
-            use_gram=use_gram)
+        if self.mesh is not None:
+            components, explained, mean, scores = self._fit_sharded(X)
+        else:
+            use_gram = (n_features > 4 * n_samples
+                        if self.use_gram == 'auto'
+                        else bool(self.use_gram))
+            components, explained, mean, scores = pca_fit(
+                X, n_components=int(self.n_components),
+                center=self.center, use_gram=use_gram)
         self.components_ = components
         self.explained_variance_ = np.asarray(explained)
         self.mean_ = mean
@@ -115,6 +126,20 @@ class PCA:
         else:
             self.noise_variance_ = 0.0
         return scores
+
+    def _fit_sharded(self, X):
+        """SPMD Gram-path fit with the feature dimension sharded."""
+        # Deferred import: parallel imports models (solver configs).
+        from ._common import prepare_estimator_mesh
+        from ..parallel.sharded_models import sharded_pca
+
+        mesh = prepare_estimator_mesh(self.mesh, X.shape[1],
+                                      'PCA(mesh=...)',
+                                      dim_name='n_features')
+        res = sharded_pca(mesh, X, n_components=int(self.n_components),
+                          center=self.center)
+        return (res['components'], res['explained_variance'],
+                res['mean'], res['scores'])
 
     @apply_matmul_precision
     def transform(self, X):

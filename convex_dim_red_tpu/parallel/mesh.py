@@ -17,7 +17,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "replicate", "shard_batch", "P", "NamedSharding"]
+__all__ = ["create_mesh", "ensure_mesh_axes", "replicate", "shard_batch",
+           "P", "NamedSharding"]
 
 
 def create_mesh(shape=None, axis_names=("restarts", "samples"),
@@ -33,6 +34,29 @@ def create_mesh(shape=None, axis_names=("restarts", "samples"),
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     mesh_devices = np.asarray(devices).reshape(shape)
     return Mesh(mesh_devices, axis_names)
+
+
+def ensure_mesh_axes(mesh, restart_axis="restarts", sample_axis="samples"):
+    """Return a mesh that has both parallel axes, lifting 1-D meshes.
+
+    The SPMD fits shard over a ``(restart_axis, sample_axis)`` mesh.
+    Estimator-level entry points accept any of:
+
+    - a 2-D mesh already carrying both axes (returned unchanged);
+    - a 1-D mesh over ``sample_axis`` (lifted to ``(1, n_devices)``);
+    - a 1-D mesh over ``restart_axis`` (lifted to ``(n_devices, 1)``).
+    """
+    names = tuple(mesh.axis_names)
+    if restart_axis in names and sample_axis in names:
+        return mesh
+    devices = np.asarray(mesh.devices).reshape(-1)
+    if names == (sample_axis,):
+        return Mesh(devices.reshape(1, -1), (restart_axis, sample_axis))
+    if names == (restart_axis,):
+        return Mesh(devices.reshape(-1, 1), (restart_axis, sample_axis))
+    raise ValueError(
+        "mesh must carry axes (%r, %r) or be 1-D over one of them; got "
+        "axis_names=%r" % (restart_axis, sample_axis, names))
 
 
 def replicate(mesh, x):
