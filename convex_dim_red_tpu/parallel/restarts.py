@@ -220,11 +220,14 @@ def _make_aa_run(mesh, restart_axis, *, n_components, init,
 
 
 @functools.lru_cache(maxsize=128)
-def _make_aa_screen_run(*, n_components, init, max_iterations,
-                        n_extra_steps, criterion, do_scale, has_data,
-                        dict_cfg, weights_cfg, scale_cfg):
+def _make_aa_screen_run(mesh, restart_axis, *, n_components, init,
+                        max_iterations, n_extra_steps, criterion,
+                        do_scale, has_data, dict_cfg, weights_cfg,
+                        scale_cfg):
     """Jitted screening runner: every restart's state after a bounded
-    number of iterations (stacked, no keep-best reduction)."""
+    number of iterations (stacked, no keep-best reduction).  With
+    ``mesh`` the key batch shards over ``restart_axis`` and the stacked
+    outputs come back restart-sharded."""
     statics = dict(n_components=n_components, init=init,
                    max_iterations=max_iterations,
                    n_extra_steps=n_extra_steps, criterion=criterion,
@@ -232,27 +235,49 @@ def _make_aa_screen_run(*, n_components, init, max_iterations,
                    dict_cfg=dict_cfg, weights_cfg=weights_cfg,
                    scale_cfg=scale_cfg)
 
-    @apply_matmul_precision
-    @jax.jit
-    def run(X, keys, delta, tolerance, component_mask=None):
+    def screen_batch(X, keys, delta, tolerance, component_mask):
         K, diss, data = _prepare_aa_inputs(X, has_data, init)
         Zs, Cs, alphas, costs, n_iters, _ = _aa_fit_batch(
             data, K, diss, keys, delta, tolerance, component_mask,
             **statics)
         return Zs, Cs, alphas, costs, n_iters
 
+    if mesh is None:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, keys, delta, tolerance, component_mask=None):
+            return screen_batch(X, keys, delta, tolerance,
+                                component_mask)
+        return run
+
+    @apply_matmul_precision
+    @jax.jit
+    def run(X, keys, delta, tolerance, component_mask=None):
+        return functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(restart_axis, None), P(), P(), P()),
+            out_specs=(P(restart_axis, None, None),
+                       P(restart_axis, None, None),
+                       P(restart_axis, None),
+                       P(restart_axis),
+                       P(restart_axis)),
+            check_vma=False)(screen_batch)(
+                X, keys, delta, tolerance, component_mask)
+
     return run
 
 
 @functools.lru_cache(maxsize=128)
-def _make_aa_resume_run(*, max_iterations, criterion, do_scale, has_data,
-                        dict_cfg, weights_cfg, scale_cfg):
+def _make_aa_resume_run(mesh, restart_axis, *, max_iterations, criterion,
+                        do_scale, has_data, dict_cfg, weights_cfg,
+                        scale_cfg):
     """Jitted resume runner: continue a batch of fits from explicit
-    (Z, C, alpha) states to convergence, then keep the best."""
+    (Z, C, alpha) states to convergence, then keep the best.  With
+    ``mesh`` the state batch shards over ``restart_axis``; ``n_valid``
+    (runtime) masks tiled pad restarts out of the selection."""
 
-    @apply_matmul_precision
-    @jax.jit
-    def run(X, Zs, Cs, alphas, delta, tolerance, component_mask=None):
+    def resume_batch(X, Zs, Cs, alphas, delta, tolerance,
+                     component_mask):
         K, _, data = _prepare_aa_inputs(X, has_data, init=None)
 
         def resume_one(Z, C, alpha):
@@ -264,43 +289,84 @@ def _make_aa_resume_run(*, max_iterations, criterion, do_scale, has_data,
                 dict_cfg=dict_cfg, weights_cfg=weights_cfg,
                 scale_cfg=scale_cfg, verbose=False)
 
-        Zs, Cs, alphas, costs, n_iters, traces, _ = jax.vmap(
-            resume_one)(Zs, Cs, alphas)
-        best = jnp.argmin(costs)
-        return (Zs[best], Cs[best], alphas[best], traces[best],
-                costs, n_iters, costs[best], n_iters[best])
+        return jax.vmap(resume_one)(Zs, Cs, alphas)
+
+    if mesh is None:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, Zs, Cs, alphas, delta, tolerance,
+                component_mask=None, n_valid=None):
+            Zs, Cs, alphas, costs, n_iters, traces, _ = resume_batch(
+                X, Zs, Cs, alphas, delta, tolerance, component_mask)
+            best = jnp.argmin(costs)
+            return (Zs[best], Cs[best], alphas[best], traces[best],
+                    costs, n_iters, costs[best], n_iters[best])
+        return run
+
+    @apply_matmul_precision
+    @jax.jit
+    def run(X, Zs, Cs, alphas, delta, tolerance, component_mask=None,
+            n_valid=None):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(restart_axis, None, None),
+                      P(restart_axis, None, None),
+                      P(restart_axis, None), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(),
+                       P(restart_axis), P(restart_axis), P(), P()),
+            check_vma=False)
+        def shard_resume(X, Zs_loc, Cs_loc, alphas_loc, delta,
+                         tolerance, component_mask, n_valid):
+            Zs_l, Cs_l, alphas_l, costs, n_iters, traces, _ = \
+                resume_batch(X, Zs_loc, Cs_loc, alphas_loc, delta,
+                             tolerance, component_mask)
+            best, best_cost, best_n_iter, best_trace = _select_best(
+                (Zs_l, Cs_l, alphas_l), costs, traces, n_iters,
+                n_valid=n_valid, restart_axis=restart_axis)
+            Z, C, alpha = best
+            return (Z, C, alpha, best_trace, costs, n_iters,
+                    best_cost, best_n_iter)
+
+        return shard_resume(X, Zs, Cs, alphas, delta, tolerance,
+                            component_mask,
+                            jnp.asarray(n_valid, jnp.int32))
 
     return run
 
 
 def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
                       screen_iterations, screen_keep, restart_chunk,
-                      statics):
+                      statics, mesh=None, restart_axis='restarts'):
     """Two-phase screened restarts: bounded screening pass over every
     restart, keep the best ``screen_keep`` fraction, run only those to
     convergence.  Returns ``(best, costs, n_iters)`` shaped like
-    :func:`_keep_best_over_chunks`'s result."""
+    :func:`_keep_best_over_chunks`'s result.  With ``mesh`` both phases
+    run shard_map'd over ``restart_axis`` (keys / survivor states tiled
+    to the axis size; pad restarts masked out of the selection)."""
     n_init = keys.shape[0]
+    axis_size = 1 if mesh is None else mesh.shape[restart_axis]
     screen = _make_aa_screen_run(
-        max_iterations=int(screen_iterations),
+        mesh, restart_axis, max_iterations=int(screen_iterations),
         **{k: v for k, v in statics.items() if k != 'max_iterations'})
 
     chunk = restart_chunk or n_init
+    if axis_size > 1:
+        chunk = max(chunk, axis_size)
     Zs, Cs, alphas, costs, iters = [], [], [], [], []
     for i in range(0, n_init, chunk):
-        out = screen(X, keys[i:i + chunk], delta, tolerance,
-                     component_mask)
+        key_chunk, n_valid = _pad_keys(keys[i:i + chunk], axis_size)
+        out = screen(X, key_chunk, delta, tolerance, component_mask)
         for acc, val in zip((Zs, Cs, alphas, costs, iters), out):
-            acc.append(val)
+            acc.append(val[:n_valid])
     Zs, Cs, alphas = (jnp.concatenate(a) for a in (Zs, Cs, alphas))
     screen_costs = np.concatenate([np.asarray(c) for c in costs])
     screen_iters = np.concatenate([np.asarray(i) for i in iters])
 
     n_keep = max(1, int(np.ceil(float(screen_keep) * n_init)))
     survivors = np.argsort(screen_costs)[:n_keep]
-    surv_idx = jnp.asarray(survivors)
 
     resume = _make_aa_resume_run(
+        mesh, restart_axis,
         **{k: statics[k] for k in ('max_iterations', 'criterion',
                                    'do_scale', 'has_data', 'dict_cfg',
                                    'weights_cfg', 'scale_cfg')})
@@ -310,13 +376,19 @@ def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
     best = None
     res_costs, res_iters = [], []
     for i in range(0, n_keep, chunk):
-        sl = surv_idx[i:i + chunk]
-        out = resume(X, Zs[sl], Cs[sl], alphas[sl],
-                     delta, tolerance, component_mask)
+        sl = survivors[i:i + chunk]
+        n_valid = len(sl)
+        if axis_size > 1 and n_valid % axis_size:
+            # Tile the survivor indices up to the axis size; the tiled
+            # duplicates are masked out of the selection by n_valid.
+            sl = np.resize(sl, n_valid + (-n_valid) % axis_size)
+        idx = jnp.asarray(sl)
+        out = resume(X, Zs[idx], Cs[idx], alphas[idx],
+                     delta, tolerance, component_mask, n_valid)
         (Z, C, alpha, trace, costs_c, iters_c,
          best_cost, best_n_iter) = out
-        res_costs.append(np.asarray(costs_c))
-        res_iters.append(np.asarray(iters_c))
+        res_costs.append(np.asarray(costs_c)[:n_valid])
+        res_iters.append(np.asarray(iters_c)[:n_valid])
         if best is None or float(best_cost) < best[4]:
             best = (Z, C, alpha, trace, float(best_cost),
                     int(best_n_iter))
@@ -416,7 +488,8 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     reference protocol runs every restart to convergence.  With
     screening, the returned ``n_iter``/``cost_deltas`` describe the
     winner's resume phase and ``n_iters`` holds per-restart totals.
-    Not supported together with ``mesh``.
+    Composes with ``mesh``: both phases run shard_map'd over
+    ``restart_axis``.
     """
     X = jnp.asarray(data)
 
@@ -439,16 +512,13 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
                    weights_cfg=weights_cfg, scale_cfg=scale_cfg)
 
     if screen_iterations is not None:
-        if mesh is not None:
-            raise NotImplementedError(
-                "screened restarts are not supported with mesh=; run "
-                "the screening pass unsharded or drop screen_iterations")
         best, costs, n_iters = _screened_aa_best(
             X, keys, jnp.asarray(delta, X.dtype),
             jnp.asarray(tolerance, X.dtype), component_mask,
             screen_iterations=int(screen_iterations),
             screen_keep=float(screen_keep),
-            restart_chunk=restart_chunk, statics=statics)
+            restart_chunk=restart_chunk, statics=statics,
+            mesh=mesh, restart_axis=restart_axis)
     else:
         run = _make_aa_run(mesh, restart_axis, **statics)
         delta_op = jnp.asarray(delta, X.dtype)

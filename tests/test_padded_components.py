@@ -13,6 +13,7 @@ sweep).
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from convex_dim_red_tpu.ops.simplex_projection import (
     simplex_project_masked, simplex_project_rows)
@@ -223,15 +224,39 @@ def test_screened_restarts_match_unscreened_winner():
     assert screened['best_index'] == full['best_index']
 
 
-def test_screened_restarts_reject_mesh():
-    import pytest
+def test_screened_restarts_on_mesh_match_unsharded():
+    """Screened restarts compose with mesh=: both phases shard over the
+    restart axis, and same keys -> same screening costs, survivors, and
+    final winner as the unsharded screened run."""
     from convex_dim_red_tpu.parallel.mesh import create_mesh
     rng = np.random.RandomState(9)
     X = _planted(rng)
-    mesh = create_mesh(shape=(8,), axis_names=('restarts',))
-    with pytest.raises(NotImplementedError):
-        aa_fit_restarts(X, 3, jax.random.PRNGKey(0), n_init=8,
-                        mesh=mesh, screen_iterations=10)
+    mesh = create_mesh(shape=(4,), axis_names=('restarts',),
+                       devices=jax.devices()[:4])
+    kw = dict(n_init=8, init='random', tolerance=1e-10,
+              max_iterations=300, screen_iterations=15, screen_keep=0.5)
+    plain = aa_fit_restarts(X, 3, jax.random.PRNGKey(0), **kw)
+    sharded = aa_fit_restarts(X, 3, jax.random.PRNGKey(0), mesh=mesh,
+                              **kw)
+    # Converged costs sit at the tolerance/noise floor; the sharded
+    # Gram path changes reduction order, so compare at that floor.
+    assert sharded['cost'] == pytest.approx(plain['cost'], rel=1e-6,
+                                            abs=1e-8)
+    assert np.allclose(np.asarray(sharded['costs']),
+                       np.asarray(plain['costs']), rtol=1e-6, atol=1e-8)
+    assert sharded['n_iters'].shape == (8,)
+    # Screening really pruned: at most ceil(0.5*8) ran past the budget.
+    assert np.sum(sharded['n_iters'] > 15) <= 4
+
+    # n_init not divisible by the restart axis: tiled pad restarts are
+    # masked out of both phases.
+    kw7 = dict(kw, n_init=7)
+    plain7 = aa_fit_restarts(X, 3, jax.random.PRNGKey(2), **kw7)
+    sharded7 = aa_fit_restarts(X, 3, jax.random.PRNGKey(2), mesh=mesh,
+                               **kw7)
+    assert sharded7['costs'].shape == (7,)
+    assert sharded7['cost'] == pytest.approx(plain7['cost'], rel=1e-6,
+                                             abs=1e-8)
 
 
 def test_exact_multiple_k_gets_all_true_mask():
