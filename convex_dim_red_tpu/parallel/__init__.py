@@ -11,7 +11,8 @@ from .sharded_aa import (distributed_gram, sharded_aa_fit,
                          sharded_kernel_aa_fit)
 from .sharded_models import (sharded_gap_statistic, sharded_kmeans_fit,
                              sharded_pca)
-from .sweep import aa_model_selection_sweep, gpnh_model_selection_sweep
+from .sweep import (aa_model_selection_sweep, gpnh_model_selection_sweep,
+                    kmeans_model_selection_sweep)
 
 __all__ = [
     "create_mesh",
@@ -20,4 +21,5 @@ __all__ = [
     "sharded_aa_fit", "sharded_kernel_aa_fit", "sharded_gpnh_fit",
     "sharded_kmeans_fit", "sharded_pca", "sharded_gap_statistic",
     "aa_model_selection_sweep", "gpnh_model_selection_sweep",
+    "kmeans_model_selection_sweep",
 ]

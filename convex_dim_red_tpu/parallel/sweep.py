@@ -124,18 +124,44 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
 
 
 def kmeans_model_selection_sweep(data, ks, key, n_init=10, n_trials=100,
-                                 reference='uniform', max_iter=300):
+                                 reference='uniform', max_iter=300,
+                                 mesh=None):
     """K-means + gap statistic for every k (the reference's gap-based
-    model selection, kmeans.py:81-108 + notebooks)."""
+    model selection, kmeans.py:81-108 + notebooks).
+
+    ``mesh=`` runs each fit as the sharded SPMD k-means
+    (samples x restarts) and distributes the gap-statistic reference
+    trials over the mesh's restart axis (``n_trials`` rounded up to a
+    multiple of the axis size — the estimate just uses a few more
+    Monte-Carlo draws).
+    """
+    if mesh is not None:
+        from .mesh import ensure_mesh_axes
+        from .sharded_models import sharded_gap_statistic
+        mesh = ensure_mesh_axes(mesh)
+        r_shards = mesh.shape['restarts']
+        n_trials_eff = -(-int(n_trials) // r_shards) * r_shards
+
     results = {}
     for k in ks:
         key, k_fit, k_gap = jax.random.split(key, 3)
         start = time.perf_counter()
         model = KMeans(n_clusters=int(k), n_init=n_init,
-                       max_iter=max_iter, random_state=k_fit).fit(data)
-        gap, sk = gap_statistic(data, model.inertia_, int(k),
-                                n_trials=n_trials, reference=reference,
-                                random_state=k_gap)
+                       max_iter=max_iter, random_state=k_fit,
+                       mesh=mesh).fit(data)
+        if mesh is None:
+            gap, sk = gap_statistic(data, model.inertia_, int(k),
+                                    n_trials=n_trials,
+                                    reference=reference,
+                                    random_state=k_gap)
+        else:
+            # Reference-trial fits keep sharded_gap_statistic's own
+            # n_init/max_iter defaults — the same ones the
+            # single-device gap_statistic uses internally.
+            gap, sk = sharded_gap_statistic(
+                mesh, data, model.inertia_, int(k),
+                n_trials=n_trials_eff, reference=reference,
+                random_state=k_gap, trial_axis='restarts')
         results[int(k)] = {
             'cost': model.inertia_,
             'gap': gap,

@@ -105,6 +105,29 @@ def test_kmeans_sweep_gap_columns():
     assert results[2]['gap'] > results[1]['gap']
 
 
+def test_kmeans_sweep_on_mesh_matches_single_device():
+    from convex_dim_red_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.RandomState(16)
+    X = np.concatenate([c + 0.3 * rng.standard_normal((30, 2))
+                        for c in [(0, 0), (8, 8)]])
+    mesh = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+
+    kw = dict(ks=[2, 3], key=jax.random.PRNGKey(0), n_init=4, n_trials=4)
+    plain = kmeans_model_selection_sweep(X, **kw)
+    sharded = kmeans_model_selection_sweep(X, mesh=mesh, **kw)
+
+    for k in (2, 3):
+        # Same fit keys and same per-trial gap keys: identical results
+        # up to reduction order.
+        assert sharded[k]['cost'] == pytest.approx(plain[k]['cost'],
+                                                   rel=1e-10)
+        assert sharded[k]['gap'] == pytest.approx(plain[k]['gap'],
+                                                  rel=1e-8)
+        assert sharded[k]['gap_sk'] == pytest.approx(plain[k]['gap_sk'],
+                                                     rel=1e-8)
+
+
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     from convex_dim_red_tpu import KernelAA
 
