@@ -334,45 +334,40 @@ def _make_aa_resume_run(mesh, restart_axis, *, max_iterations, criterion,
     return run
 
 
-def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
-                      screen_iterations, screen_keep, restart_chunk,
-                      statics, mesh=None, restart_axis='restarts'):
-    """Two-phase screened restarts: bounded screening pass over every
-    restart, keep the best ``screen_keep`` fraction, run only those to
-    convergence.  Returns ``(best, costs, n_iters)`` shaped like
-    :func:`_keep_best_over_chunks`'s result.  With ``mesh`` both phases
-    run shard_map'd over ``restart_axis`` (keys / survivor states tiled
-    to the axis size; pad restarts masked out of the selection)."""
-    n_init = keys.shape[0]
-    axis_size = 1 if mesh is None else mesh.shape[restart_axis]
-    screen = _make_aa_screen_run(
-        mesh, restart_axis, max_iterations=int(screen_iterations),
-        **{k: v for k, v in statics.items() if k != 'max_iterations'})
+def _screened_best(screen_call, resume_call, keys, *, chunk, axis_size,
+                   screen_keep):
+    """Generic two-phase screened keep-best driver (AA and GPNH).
 
-    chunk = restart_chunk or n_init
+    ``screen_call(key_chunk) -> (*state, costs, n_iters)`` stacked over
+    the chunk; ``resume_call(state_tuple, n_valid) -> (*best_state,
+    costs, n_iters, best_cost, best_n_iter)``.  Both phases are chunked
+    (TPU execution-watchdog guard, see :func:`_keep_best_over_chunks`);
+    with a mesh, key chunks and survivor states are tiled to the
+    restart-axis size and the tiled duplicates are masked out of the
+    selection by the runtime ``n_valid``.  Returns ``(best, costs,
+    n_iters)`` shaped like :func:`_keep_best_over_chunks`'s result.
+    """
+    n_init = keys.shape[0]
     if axis_size > 1:
         chunk = max(chunk, axis_size)
-    Zs, Cs, alphas, costs, iters = [], [], [], [], []
+
+    state_acc, costs_acc, iters_acc = None, [], []
     for i in range(0, n_init, chunk):
         key_chunk, n_valid = _pad_keys(keys[i:i + chunk], axis_size)
-        out = screen(X, key_chunk, delta, tolerance, component_mask)
-        for acc, val in zip((Zs, Cs, alphas, costs, iters), out):
+        *state, costs, n_iters = screen_call(key_chunk)
+        if state_acc is None:
+            state_acc = [[] for _ in state]
+        for acc, val in zip(state_acc, state):
             acc.append(val[:n_valid])
-    Zs, Cs, alphas = (jnp.concatenate(a) for a in (Zs, Cs, alphas))
-    screen_costs = np.concatenate([np.asarray(c) for c in costs])
-    screen_iters = np.concatenate([np.asarray(i) for i in iters])
+        costs_acc.append(np.asarray(costs)[:n_valid])
+        iters_acc.append(np.asarray(n_iters)[:n_valid])
+    state = tuple(jnp.concatenate(a) for a in state_acc)
+    screen_costs = np.concatenate(costs_acc)
+    screen_iters = np.concatenate(iters_acc)
 
     n_keep = max(1, int(np.ceil(float(screen_keep) * n_init)))
     survivors = np.argsort(screen_costs)[:n_keep]
 
-    resume = _make_aa_resume_run(
-        mesh, restart_axis,
-        **{k: statics[k] for k in ('max_iterations', 'criterion',
-                                   'do_scale', 'has_data', 'dict_cfg',
-                                   'weights_cfg', 'scale_cfg')})
-    # The resume phase is chunked like the screening phase: survivors x
-    # up to max_iterations in one device execution can exceed the TPU
-    # worker's execution watchdog (see _keep_best_over_chunks).
     best = None
     res_costs, res_iters = [], []
     for i in range(0, n_keep, chunk):
@@ -383,15 +378,12 @@ def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
             # duplicates are masked out of the selection by n_valid.
             sl = np.resize(sl, n_valid + (-n_valid) % axis_size)
         idx = jnp.asarray(sl)
-        out = resume(X, Zs[idx], Cs[idx], alphas[idx],
-                     delta, tolerance, component_mask, n_valid)
-        (Z, C, alpha, trace, costs_c, iters_c,
-         best_cost, best_n_iter) = out
+        out = resume_call(tuple(s[idx] for s in state), n_valid)
+        *bstate, costs_c, iters_c, best_cost, best_n_iter = out
         res_costs.append(np.asarray(costs_c)[:n_valid])
         res_iters.append(np.asarray(iters_c)[:n_valid])
-        if best is None or float(best_cost) < best[4]:
-            best = (Z, C, alpha, trace, float(best_cost),
-                    int(best_n_iter))
+        if best is None or float(best_cost) < best[-2]:
+            best = (*bstate, float(best_cost), int(best_n_iter))
     res_costs = np.concatenate(res_costs)
     res_iters = np.concatenate(res_iters)
 
@@ -403,6 +395,35 @@ def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
     # screening iterations are in ``n_iters``); slicing the trace with
     # the phase count keeps cost_deltas consistent.
     return best, all_costs, all_iters
+
+
+def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
+                      screen_iterations, screen_keep, restart_chunk,
+                      statics, mesh=None, restart_axis='restarts'):
+    """AA instantiation of :func:`_screened_best` (screen -> prune ->
+    resume); with ``mesh`` both phases run shard_map'd over
+    ``restart_axis``."""
+    axis_size = 1 if mesh is None else mesh.shape[restart_axis]
+    screen = _make_aa_screen_run(
+        mesh, restart_axis, max_iterations=int(screen_iterations),
+        **{k: v for k, v in statics.items() if k != 'max_iterations'})
+    resume = _make_aa_resume_run(
+        mesh, restart_axis,
+        **{k: statics[k] for k in ('max_iterations', 'criterion',
+                                   'do_scale', 'has_data', 'dict_cfg',
+                                   'weights_cfg', 'scale_cfg')})
+
+    def screen_call(key_chunk):
+        return screen(X, key_chunk, delta, tolerance, component_mask)
+
+    def resume_call(state, n_valid):
+        Zs, Cs, alphas = state
+        return resume(X, Zs, Cs, alphas, delta, tolerance,
+                      component_mask, n_valid)
+
+    return _screened_best(screen_call, resume_call, keys,
+                          chunk=restart_chunk or keys.shape[0],
+                          axis_size=axis_size, screen_keep=screen_keep)
 
 
 def _keep_best_over_chunks(call, keys, chunk_size, mesh_axis_size):
@@ -706,13 +727,109 @@ def _make_gpnh_run(mesh, restart_axis, *, n_components, init,
     return run
 
 
+@functools.lru_cache(maxsize=128)
+def _make_gpnh_screen_run(mesh, restart_axis, *, n_components, init,
+                          max_iterations, n_extra_steps, criterion,
+                          weights_cfg):
+    """GPNH screening runner: every restart's state after a bounded
+    number of iterations (stacked, no keep-best reduction)."""
+    statics = dict(n_components=n_components, init=init,
+                   max_iterations=max_iterations,
+                   n_extra_steps=n_extra_steps, criterion=criterion,
+                   weights_cfg=weights_cfg)
+
+    def screen_batch(X, keys, lambda_W, tolerance):
+        diss = (dissimilarities_from_kernel(X @ X.T)
+                if init == 'furthest_sum' else None)
+        Zs, Ws, costs, n_iters, _ = _gpnh_fit_batch(
+            X, diss, keys, lambda_W, tolerance, **statics)
+        return Zs, Ws, costs, n_iters
+
+    if mesh is None:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, keys, lambda_W, tolerance):
+            return screen_batch(X, keys, lambda_W, tolerance)
+        return run
+
+    @apply_matmul_precision
+    @jax.jit
+    def run(X, keys, lambda_W, tolerance):
+        return functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(restart_axis, None), P(), P()),
+            out_specs=(P(restart_axis, None, None),
+                       P(restart_axis, None, None),
+                       P(restart_axis),
+                       P(restart_axis)),
+            check_vma=False)(screen_batch)(X, keys, lambda_W, tolerance)
+
+    return run
+
+
+@functools.lru_cache(maxsize=128)
+def _make_gpnh_resume_run(mesh, restart_axis, *, max_iterations,
+                          criterion, weights_cfg):
+    """GPNH resume runner: continue a batch of fits from explicit
+    (Z, W) states to convergence, then keep the best."""
+    from ..models.gpnh_convex_coding import _gpnh_core
+
+    def resume_batch(X, Zs, Ws, lambda_W, tolerance):
+        def resume_one(Z, W):
+            return _gpnh_core(
+                X, Z, W, lambda_W, tolerance, do_dict=True,
+                do_weights=True, criterion=criterion,
+                max_iterations=max_iterations, require_monotonic=False,
+                weights_cfg=weights_cfg, verbose=False)
+
+        return jax.vmap(resume_one)(Zs, Ws)
+
+    if mesh is None:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None):
+            Zs, Ws, costs, n_iters, traces, _ = resume_batch(
+                X, Zs, Ws, lambda_W, tolerance)
+            best = jnp.argmin(costs)
+            return (Zs[best], Ws[best], traces[best], costs, n_iters,
+                    costs[best], n_iters[best])
+        return run
+
+    @apply_matmul_precision
+    @jax.jit
+    def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(restart_axis, None, None),
+                      P(restart_axis, None, None), P(), P(), P()),
+            out_specs=(P(), P(), P(),
+                       P(restart_axis), P(restart_axis), P(), P()),
+            check_vma=False)
+        def shard_resume(X, Zs_loc, Ws_loc, lambda_W, tolerance,
+                         n_valid):
+            Zs_l, Ws_l, costs, n_iters, traces, _ = resume_batch(
+                X, Zs_loc, Ws_loc, lambda_W, tolerance)
+            best, best_cost, best_n_iter, best_trace = _select_best(
+                (Zs_l, Ws_l), costs, traces, n_iters, n_valid=n_valid,
+                restart_axis=restart_axis)
+            Z, W = best
+            return (Z, W, best_trace, costs, n_iters, best_cost,
+                    best_n_iter)
+
+        return shard_resume(X, Zs, Ws, lambda_W, tolerance,
+                            jnp.asarray(n_valid, jnp.int32))
+
+    return run
+
+
 def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
                       init='random', tolerance=1e-6, max_iterations=500,
                       n_extra_steps=10,
                       stopping_criterion='abs_delta_f',
                       weights_solver_kwargs=None,
                       mesh=None, restart_axis='restarts',
-                      restart_chunk=None):
+                      restart_chunk=None,
+                      screen_iterations=None, screen_keep=0.25):
     """Best-of-``n_init`` GPNH convex coding, fully on device.
 
     Vmapped analog of the reference drivers' serial keep-best loop for
@@ -720,8 +837,10 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
     (``random`` and device-side ``furthest_sum``).  ``restart_chunk``
     bounds how many restarts run in one device execution (the TPU
     execution-watchdog guard; see :func:`_keep_best_over_chunks`).
-    Returns a dict with the best restart's ``weights``, ``dictionary``,
-    ``cost``, ``n_iter``, ``cost_deltas`` plus the full
+    ``screen_iterations``/``screen_keep`` enable two-phase screened
+    restarts exactly as in :func:`aa_fit_restarts` (compose with
+    ``mesh``).  Returns a dict with the best restart's ``weights``,
+    ``dictionary``, ``cost``, ``n_iter``, ``cost_deltas`` plus the full
     ``costs``/``n_iters`` arrays.
     """
     if init not in ('random', 'furthest_sum'):
@@ -734,21 +853,43 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
 
     keys = jax.random.split(key, n_init)
     axis_size = 1 if mesh is None else mesh.shape[restart_axis]
-
-    run = _make_gpnh_run(
-        mesh, restart_axis, n_components=int(n_components),
-        init=init, max_iterations=int(max_iterations),
-        n_extra_steps=int(n_extra_steps), criterion=stopping_criterion,
-        weights_cfg=weights_cfg)
     lam_op = jnp.asarray(lambda_W, X.dtype)
     tol_op = jnp.asarray(tolerance, X.dtype)
 
-    def call(chunk, n_valid):
-        return run(X, chunk, lam_op, tol_op,
-                   jnp.asarray(n_valid, jnp.int32))
+    if screen_iterations is not None:
+        screen = _make_gpnh_screen_run(
+            mesh, restart_axis, n_components=int(n_components),
+            init=init, max_iterations=int(screen_iterations),
+            n_extra_steps=int(n_extra_steps),
+            criterion=stopping_criterion, weights_cfg=weights_cfg)
+        resume = _make_gpnh_resume_run(
+            mesh, restart_axis, max_iterations=int(max_iterations),
+            criterion=stopping_criterion, weights_cfg=weights_cfg)
 
-    best, costs, n_iters = _keep_best_over_chunks(
-        call, keys, restart_chunk, axis_size)
+        def screen_call(key_chunk):
+            return screen(X, key_chunk, lam_op, tol_op)
+
+        def resume_call(state, n_valid):
+            Zs, Ws = state
+            return resume(X, Zs, Ws, lam_op, tol_op, n_valid)
+
+        best, costs, n_iters = _screened_best(
+            screen_call, resume_call, keys,
+            chunk=restart_chunk or n_init, axis_size=axis_size,
+            screen_keep=screen_keep)
+    else:
+        run = _make_gpnh_run(
+            mesh, restart_axis, n_components=int(n_components),
+            init=init, max_iterations=int(max_iterations),
+            n_extra_steps=int(n_extra_steps),
+            criterion=stopping_criterion, weights_cfg=weights_cfg)
+
+        def call(chunk, n_valid):
+            return run(X, chunk, lam_op, tol_op,
+                       jnp.asarray(n_valid, jnp.int32))
+
+        best, costs, n_iters = _keep_best_over_chunks(
+            call, keys, restart_chunk, axis_size)
 
     Z, W, trace, best_cost, n_iter_best = best
     return {

@@ -259,6 +259,35 @@ def test_screened_restarts_on_mesh_match_unsharded():
                                              abs=1e-8)
 
 
+def test_gpnh_screened_restarts_match_and_shard():
+    """GPNH screened restarts (screen -> prune -> resume) reach the
+    planted optimum and compose with mesh= like the AA path."""
+    from convex_dim_red_tpu.parallel.restarts import gpnh_fit_restarts
+    from convex_dim_red_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.RandomState(10)
+    X = _planted(rng)
+    kw = dict(n_init=8, init='random', tolerance=1e-10,
+              max_iterations=300, lambda_W=0.0,
+              screen_iterations=15, screen_keep=0.5)
+    plain = gpnh_fit_restarts(X, 3, jax.random.PRNGKey(0), **kw)
+    assert plain['cost'] < 1e-6
+    assert plain['costs'].shape == (8,)
+    # Exactly ceil(0.5 * 8) survivors ran past the screening budget.
+    assert np.sum(plain['n_iters'] > 15) <= 4
+    assert np.allclose(np.asarray(plain['weights']).sum(1), 1,
+                       atol=1e-10)
+
+    mesh = create_mesh(shape=(4,), axis_names=('restarts',),
+                       devices=jax.devices()[:4])
+    sharded = gpnh_fit_restarts(X, 3, jax.random.PRNGKey(0), mesh=mesh,
+                                **kw)
+    assert sharded['cost'] == pytest.approx(plain['cost'], rel=1e-6,
+                                            abs=1e-8)
+    assert np.allclose(np.asarray(sharded['costs']),
+                       np.asarray(plain['costs']), rtol=1e-6, atol=1e-8)
+
+
 def test_exact_multiple_k_gets_all_true_mask():
     """Round-2 fix: k equal to the bucket size must reuse the masked
     bucket program (all-true mask), not compile a separate maskless
