@@ -581,12 +581,15 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
                            weights_solver_kwargs=None,
                            scale_factors_solver_kwargs=None,
                            mesh=None, restart_axis='restarts',
-                           restart_chunk=None):
+                           restart_chunk=None,
+                           screen_iterations=None, screen_keep=0.25):
     """Best-of-``n_init`` kernel AA on a precomputed kernel matrix.
 
     Kernel-space analog of :func:`aa_fit_restarts` for ``KernelAA``
     users (no data matrix; the outer-loop cost uses the kernel trace
-    form).  Returns a dict with the best restart's ``weights``,
+    form), including two-phase screened restarts
+    (``screen_iterations``/``screen_keep``, composing with ``mesh``).
+    Returns a dict with the best restart's ``weights``,
     ``dictionary``, ``alpha``, ``cost``, ``n_iter``, ``cost_deltas``,
     plus ``costs``/``n_iters`` for every restart.
     """
@@ -599,23 +602,31 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
     do_scale = float(delta) != 0.0
     axis_size = 1 if mesh is None else mesh.shape[restart_axis]
 
-    run = _make_aa_run(
-        mesh, restart_axis,
-        n_components=int(n_components), init=init,
-        max_iterations=int(max_iterations),
-        n_extra_steps=int(n_extra_steps),
-        criterion=stopping_criterion, do_scale=do_scale,
-        has_data=False, dict_cfg=dict_cfg, weights_cfg=weights_cfg,
-        scale_cfg=scale_cfg)
+    statics = dict(n_components=int(n_components), init=init,
+                   max_iterations=int(max_iterations),
+                   n_extra_steps=int(n_extra_steps),
+                   criterion=stopping_criterion, do_scale=do_scale,
+                   has_data=False, dict_cfg=dict_cfg,
+                   weights_cfg=weights_cfg, scale_cfg=scale_cfg)
     delta_op = jnp.asarray(delta, K.dtype)
     tol_op = jnp.asarray(tolerance, K.dtype)
 
-    def call(chunk, n_valid):
-        return run(K, chunk, delta_op, tol_op, None,
-                   jnp.asarray(n_valid, jnp.int32))
+    if screen_iterations is not None:
+        best, costs, n_iters = _screened_aa_best(
+            K, keys, delta_op, tol_op, None,
+            screen_iterations=int(screen_iterations),
+            screen_keep=float(screen_keep),
+            restart_chunk=restart_chunk, statics=statics,
+            mesh=mesh, restart_axis=restart_axis)
+    else:
+        run = _make_aa_run(mesh, restart_axis, **statics)
 
-    best, costs, n_iters = _keep_best_over_chunks(
-        call, keys, restart_chunk, axis_size)
+        def call(chunk, n_valid):
+            return run(K, chunk, delta_op, tol_op, None,
+                       jnp.asarray(n_valid, jnp.int32))
+
+        best, costs, n_iters = _keep_best_over_chunks(
+            call, keys, restart_chunk, axis_size)
 
     Z, C, alpha, trace, best_cost, n_iter_best = best
     return {

@@ -148,6 +148,24 @@ def test_kernel_aa_fit_restarts_matches_data_space():
     assert got == sorted(idx.tolist())
 
 
+def test_kernel_aa_screened_restarts_reach_planted_solution():
+    from convex_dim_red_tpu.parallel.restarts import kernel_aa_fit_restarts
+    rng = np.random.RandomState(9)
+    X, idx = _planted(rng)
+    K = X @ X.T
+    result = kernel_aa_fit_restarts(K, 3, jax.random.PRNGKey(0),
+                                    n_init=8, tolerance=1e-10,
+                                    max_iterations=300,
+                                    screen_iterations=15,
+                                    screen_keep=0.5)
+    assert result['cost'] < 1e-6
+    assert result['costs'].shape == (8,)
+    # Only the kept fraction ran past the screening budget.
+    assert np.sum(result['n_iters'] > 15) <= 4
+    got = sorted(np.asarray(result['dictionary']).argmax(1).tolist())
+    assert got == sorted(idx.tolist())
+
+
 def test_aa_fit_restarts_chunking_matches_single_call():
     rng = np.random.RandomState(10)
     X, _ = _planted(rng)
