@@ -18,6 +18,7 @@ dictionary-distance penalty averages over *all* columns
 would change the objective.
 """
 
+import os
 import time
 
 import jax
@@ -30,12 +31,36 @@ __all__ = ["aa_model_selection_sweep", "gpnh_model_selection_sweep",
            "kmeans_model_selection_sweep"]
 
 
+def _sweep_ckpt_load(checkpoint_dir, k):
+    """Load a completed sweep point, or None.  Sweep checkpointing is
+    the long-multi-restart-sweep resume mechanism SURVEY.md §5 calls
+    for (the reference has none; its sweeps are notebook loops)."""
+    if checkpoint_dir is None:
+        return None
+    path = os.path.join(checkpoint_dir, "k_%03d.npz" % k)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as data:
+        return {name: (data[name].item() if data[name].ndim == 0
+                       else data[name]) for name in data.files}
+
+
+def _sweep_ckpt_save(checkpoint_dir, k, entry):
+    if checkpoint_dir is None:
+        return
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "k_%03d.npz" % k)
+    np.savez(path, **{name: np.asarray(val)
+                      for name, val in entry.items()})
+
+
 def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
                              init='furthest_sum', tolerance=1e-5,
                              stopping_criterion='rel_delta_f',
                              max_iterations=500, mesh=None,
                              validation_data=None, restart_chunk=10,
-                             component_bucket=None, **solver_kwargs):
+                             component_bucket=None, checkpoint_dir=None,
+                             **solver_kwargs):
     """Fit AA for every k in ``ks`` with ``n_init`` sharded restarts.
 
     ``component_bucket`` rounds each ``k`` up to the next multiple of
@@ -48,6 +73,11 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
     compile amortization matters more (see benchmarks/run_all.py
     config5: 7 programs collapse to 3).
 
+    ``checkpoint_dir=`` makes the sweep resumable: each completed
+    ``k`` is persisted (``k_NNN.npz``) and skipped on rerun.  The PRNG
+    key is split per ``k`` regardless of skipping, so a resumed sweep
+    computes exactly what the uninterrupted sweep would have.
+
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', ...}}`` suitable
     for :func:`pipelines.analysis.model_selection_table`.
     """
@@ -59,6 +89,10 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
             bucket = int(component_bucket)
             pad_to = -(-k // bucket) * bucket
         key, sub = jax.random.split(key)
+        done = _sweep_ckpt_load(checkpoint_dir, k)
+        if done is not None:
+            results[k] = done
+            continue
         start = time.perf_counter()
         fit = aa_fit_restarts(
             data, k, sub, n_init, delta=delta, init=init,
@@ -78,6 +112,7 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
             'costs': np.asarray(fit['costs']),
         }
         results[int(k)] = entry
+        _sweep_ckpt_save(checkpoint_dir, k, entry)
     return results
 
 
@@ -86,7 +121,8 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
                                init='random', tolerance=1e-5,
                                stopping_criterion='rel_delta_f',
                                max_iterations=500, mesh=None,
-                               restart_chunk=10, **solver_kwargs):
+                               restart_chunk=10, checkpoint_dir=None,
+                               **solver_kwargs):
     """Fit GPNH convex coding for every k with ``n_init`` restarts.
 
     GPNH analog of :func:`aa_model_selection_sweep` (the analysis
@@ -98,6 +134,8 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
     many restarts run in one device execution (the TPU execution
     watchdog guard; see restarts._keep_best_over_chunks).
 
+    ``checkpoint_dir=`` resumes like :func:`aa_model_selection_sweep`.
+
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', 'costs'}}``.
     """
     X = np.asarray(data)
@@ -105,6 +143,10 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
     for k in ks:
         k = int(k)
         key, sub = jax.random.split(key)
+        done = _sweep_ckpt_load(checkpoint_dir, k)
+        if done is not None:
+            results[k] = done
+            continue
         start = time.perf_counter()
         fit = gpnh_fit_restarts(
             data, k, sub, n_init, lambda_W=lambda_W, init=init,
@@ -120,12 +162,13 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
             'elapsed': elapsed,
             'costs': np.asarray(fit['costs']),
         }
+        _sweep_ckpt_save(checkpoint_dir, k, results[k])
     return results
 
 
 def kmeans_model_selection_sweep(data, ks, key, n_init=10, n_trials=100,
                                  reference='uniform', max_iter=300,
-                                 mesh=None):
+                                 mesh=None, checkpoint_dir=None):
     """K-means + gap statistic for every k (the reference's gap-based
     model selection, kmeans.py:81-108 + notebooks).
 
@@ -145,6 +188,10 @@ def kmeans_model_selection_sweep(data, ks, key, n_init=10, n_trials=100,
     results = {}
     for k in ks:
         key, k_fit, k_gap = jax.random.split(key, 3)
+        done = _sweep_ckpt_load(checkpoint_dir, int(k))
+        if done is not None:
+            results[int(k)] = done
+            continue
         start = time.perf_counter()
         model = KMeans(n_clusters=int(k), n_init=n_init,
                        max_iter=max_iter, random_state=k_fit,
@@ -169,4 +216,5 @@ def kmeans_model_selection_sweep(data, ks, key, n_init=10, n_trials=100,
             'n_iter': model.n_iter_,
             'elapsed': time.perf_counter() - start,
         }
+        _sweep_ckpt_save(checkpoint_dir, int(k), results[int(k)])
     return results

@@ -128,6 +128,38 @@ def test_kmeans_sweep_on_mesh_matches_single_device():
                                                      rel=1e-8)
 
 
+def test_sweep_checkpoint_resume(tmp_path):
+    """checkpoint_dir makes sweeps resumable: completed ks load from
+    disk, new ks compute with the same PRNG threading as an
+    uninterrupted sweep."""
+    rng = np.random.RandomState(15)
+    basis = rng.standard_normal((3, 6))
+    Z = rng.rand(40, 3)
+    Z /= Z.sum(axis=1, keepdims=True)
+    X = Z @ basis
+
+    ckpt = str(tmp_path / "sweep")
+    kw = dict(key=jax.random.PRNGKey(3), n_init=4, tolerance=1e-8,
+              max_iterations=100)
+    first = aa_model_selection_sweep(X, ks=[2, 3], checkpoint_dir=ckpt,
+                                     **kw)
+    # Resume with one more k: 2 and 3 load from disk, 4 computes.
+    resumed = aa_model_selection_sweep(X, ks=[2, 3, 4],
+                                       checkpoint_dir=ckpt, **kw)
+    fresh = aa_model_selection_sweep(X, ks=[2, 3, 4], **kw)
+
+    for k in (2, 3):
+        assert resumed[k]['cost'] == pytest.approx(first[k]['cost'])
+        assert np.allclose(resumed[k]['costs'], first[k]['costs'])
+    # PRNG threading preserved across the skip: the resumed k=4 equals
+    # the uninterrupted sweep's.
+    assert resumed[4]['cost'] == pytest.approx(fresh[4]['cost'],
+                                               rel=1e-10)
+    assert np.allclose(resumed[4]['costs'], fresh[4]['costs'],
+                       rtol=1e-10)
+    assert resumed[4]['n_iter'] == fresh[4]['n_iter']
+
+
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     from convex_dim_red_tpu import KernelAA
 
