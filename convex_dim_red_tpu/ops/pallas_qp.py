@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["quad_simplex_qp_pallas", "quad_simplex_qp_pallas_packed"]
+__all__ = ["quad_simplex_qp_pallas", "quad_simplex_qp_pallas_grouped",
+           "quad_simplex_qp_pallas_packed"]
 
 LANES = 128
 
@@ -66,22 +67,15 @@ def _masked_project(x, mask, dtype):
     return jnp.where(mask, jnp.maximum(x - tau, 0.0), 0.0)
 
 
-def _qp_kernel(A_ref, B_ref, X0_ref, M_ref, out_ref,
-               X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
-               max_iterations, alpha0, alpha_min, alpha_max,
-               epsilon_one, epsilon_two):
-    dtype = X0_ref.dtype
-    block = X0_ref.shape[0]
-
-    A = A_ref[:]                       # (LANES, LANES); rows/cols >= k are 0
-    B = B_ref[:]                       # (block, LANES); cols >= k are 0
-    # Active-lane mask is a RUNTIME input (1.0 active / 0.0 masked),
-    # not a static `lane < k` test: component-masked (bucketed) solves
-    # and plain solves of the same padded shape share one compiled
-    # program (parallel/restarts.py padded-k bucketing).  Masked lanes
-    # are pinned to zero by every projection, so arbitrary Hessian
-    # values in masked rows/cols never contribute.
-    mask = jnp.broadcast_to(M_ref[0:1, :], (block, LANES)) > 0.5
+def _qp_solve_vmem(A, B, X0, mask, write_out,
+                   X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
+                   max_iterations, alpha0, alpha_min, alpha_max,
+                   epsilon_one, epsilon_two):
+    """Shared VMEM-resident SPG solve: operands already loaded as
+    (block, LANES) arrays; the result goes out through ``write_out``
+    (the plain and grouped kernels differ only in ref ranks)."""
+    dtype = X0.dtype
+    block = X0.shape[0]
 
     def rowsum(v):
         return jnp.broadcast_to(jnp.sum(v, axis=1, keepdims=True),
@@ -91,7 +85,7 @@ def _qp_kernel(A_ref, B_ref, X0_ref, M_ref, out_ref,
         return jnp.broadcast_to(jnp.max(v, axis=1, keepdims=True),
                                 (block, LANES))
 
-    X = _masked_project(X0_ref[:], mask, dtype)
+    X = _masked_project(X0, mask, dtype)
     AX = jnp.dot(X, A, preferred_element_type=dtype,
                  precision=jax.lax.Precision.HIGHEST)
 
@@ -175,7 +169,44 @@ def _qp_kernel(A_ref, B_ref, X0_ref, M_ref, out_ref,
     jax.lax.while_loop(cond, body,
                        (jnp.asarray(0, jnp.int32), jnp.asarray(True)))
     # Restore exact feasibility lost to incremental-update rounding.
-    out_ref[:] = _masked_project(X_ref[:], mask, dtype)
+    write_out(_masked_project(X_ref[:], mask, dtype))
+
+
+def _qp_kernel(A_ref, B_ref, X0_ref, M_ref, out_ref,
+               X_ref, AX_ref, alpha_ref, active_ref, stall_ref,
+               **statics):
+    block = X0_ref.shape[0]
+    # Active-lane mask is a RUNTIME input (1.0 active / 0.0 masked),
+    # not a static `lane < k` test: component-masked (bucketed) solves
+    # and plain solves of the same padded shape share one compiled
+    # program (parallel/restarts.py padded-k bucketing).  Masked lanes
+    # are pinned to zero by every projection, so arbitrary Hessian
+    # values in masked rows/cols never contribute.
+    mask = jnp.broadcast_to(M_ref[0:1, :], (block, LANES)) > 0.5
+
+    def write_out(v):
+        out_ref[:] = v
+
+    _qp_solve_vmem(A_ref[:], B_ref[:], X0_ref[:], mask, write_out,
+                   X_ref, AX_ref, alpha_ref, active_ref, stall_ref,
+                   **statics)
+
+
+def _grouped_qp_kernel(A_ref, B_ref, X0_ref, M_ref, out_ref,
+                       X_ref, AX_ref, alpha_ref, active_ref, stall_ref,
+                       **statics):
+    """Grouped variant: operand refs carry a leading group dim of 1
+    (one (k, k) Hessian per grid group — the per-restart Hessians of a
+    vmapped/sharded fit)."""
+    block = X0_ref.shape[1]
+    mask = jnp.broadcast_to(M_ref[0, 0:1, :], (block, LANES)) > 0.5
+
+    def write_out(v):
+        out_ref[0, :, :] = v
+
+    _qp_solve_vmem(A_ref[0], B_ref[0], X0_ref[0], mask, write_out,
+                   X_ref, AX_ref, alpha_ref, active_ref, stall_ref,
+                   **statics)
 
 
 def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
@@ -243,6 +274,75 @@ def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
     )(A_p, B_p, X0_p, M_p)
 
     return out[:n, :k]
+
+
+def quad_simplex_qp_pallas_grouped(As, Bs, X0s, max_iterations=1000,
+                                   alpha0=-1.0, alpha_min=1e-5,
+                                   alpha_max=1e3, epsilon_one=1e-10,
+                                   epsilon_two=1e-6, block_rows=512,
+                                   interpret=False, mask=None):
+    """Solve ``R`` groups of simplex QPs, one Hessian per group, fused.
+
+    ``As``: (R, k, k); ``Bs``: (R, n, k); ``X0s``: (R, n, k).  Returns
+    (R, n, k).  The group axis becomes a grid dimension, so the
+    per-restart Hessians of a vmapped or shard_map'd multi-restart fit
+    run in ONE kernel instead of falling back to the XLA solver (the
+    single-Hessian kernel cannot nest under vmap).  ``mask`` is shared
+    across groups (the component mask of a padded-k bucket).
+    """
+    As = jnp.asarray(As)
+    Bs = jnp.asarray(Bs)
+    X0s = jnp.asarray(X0s)
+    R, n, k = Bs.shape
+    if k > LANES:
+        raise ValueError(f"pallas QP kernel supports k <= {LANES}, got {k}")
+    dtype = X0s.dtype
+
+    block_rows = min(block_rows, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // block_rows) * block_rows
+
+    A_p = jnp.zeros((R, LANES, LANES), dtype).at[:, :k, :k].set(As)
+    B_p = jnp.zeros((R, n_pad, LANES), dtype).at[:, :n, :k].set(Bs)
+    X0_p = jnp.zeros((R, n_pad, LANES), dtype).at[:, :n, :k].set(X0s)
+    active = (jnp.ones((k,), dtype) if mask is None
+              else jnp.asarray(mask).astype(dtype))
+    M_p = jnp.zeros((1, 8, LANES), dtype).at[:, :, :k].set(
+        active[None, None, :])
+
+    kernel = functools.partial(
+        _grouped_qp_kernel, max_iterations=int(max_iterations),
+        alpha0=float(alpha0), alpha_min=float(alpha_min),
+        alpha_max=float(alpha_max), epsilon_one=float(epsilon_one),
+        epsilon_two=float(epsilon_two))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(R, n_pad // block_rows),
+        in_specs=[
+            pl.BlockSpec((1, LANES, LANES), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, LANES), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, LANES), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda r, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, LANES),
+                               lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, n_pad, LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, LANES), dtype),  # X
+            pltpu.VMEM((block_rows, LANES), dtype),  # AX
+            pltpu.VMEM((block_rows, LANES), dtype),  # alpha
+            pltpu.VMEM((block_rows, LANES), dtype),  # active mask
+            pltpu.VMEM((block_rows, LANES), dtype),  # stall counter
+        ],
+        interpret=interpret,
+    )(A_p, B_p, X0_p, M_p)
+
+    return out[:, :n, :k]
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,57 @@ def test_pallas_rejects_oversized_k():
                                np.full((4, 130), 1 / 130.), interpret=True)
 
 
+@pytest.mark.parametrize("R,n,k", [(3, 32, 4), (5, 21, 6)])
+def test_grouped_matches_per_group_solves(R, n, k):
+    """The grouped kernel (one Hessian per grid group) must match
+    solving each group separately with the single-Hessian kernel and
+    the XLA solver."""
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_grouped)
+    rng = np.random.RandomState(5)
+    As, Bs, X0s = [], [], []
+    for _ in range(R):
+        A, B, X0 = _problem(rng, n, k)
+        As.append(A), Bs.append(B), X0s.append(X0)
+    As, Bs, X0s = map(np.asarray, (As, Bs, X0s))
+
+    Xg = np.asarray(quad_simplex_qp_pallas_grouped(
+        As, Bs, X0s, max_iterations=500, interpret=True))
+    assert Xg.shape == (R, n, k)
+    for r in range(R):
+        X1 = np.asarray(quad_simplex_qp_pallas(
+            As[r], Bs[r], X0s[r], max_iterations=500, interpret=True))
+        assert np.allclose(Xg[r], X1, atol=1e-10)
+        Xx = np.asarray(quad_simplex_spg_batch(
+            As[r], Bs[r], X0s[r], max_iterations=500))
+        gap = _obj(Xg[r], As[r], Bs[r]) - _obj(Xx, As[r], Bs[r])
+        assert np.abs(gap).max() < 1e-6
+        assert np.allclose(Xg[r].sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_grouped_masked_matches_masked_xla():
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_grouped)
+    rng = np.random.RandomState(6)
+    k, m, R, n = 7, 4, 3, 19
+    As, Bs, X0s = [], [], []
+    for _ in range(R):
+        A, B, X0 = _problem(rng, n, k)
+        As.append(A), Bs.append(B), X0s.append(X0)
+    As, Bs, X0s = map(np.asarray, (As, Bs, X0s))
+    mask = np.arange(k) < m
+
+    Xg = np.asarray(quad_simplex_qp_pallas_grouped(
+        As, Bs, X0s, max_iterations=800, interpret=True, mask=mask))
+    assert np.all(Xg[:, :, m:] == 0.0)
+    for r in range(R):
+        Xx = np.asarray(quad_simplex_spg_batch(
+            As[r], Bs[r], X0s[r], backend='xla', max_iterations=800,
+            mask=np.asarray(mask)))
+        gap = _obj(Xg[r], As[r], Bs[r]) - _obj(Xx, As[r], Bs[r])
+        assert np.abs(gap).max() < 1e-6
+
+
 @pytest.mark.parametrize("n,k", [(33, 3), (70, 6), (20, 11), (16, 33)])
 def test_packed_matches_xla_objective(n, k):
     from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas_packed
