@@ -40,7 +40,8 @@ from ..models._common import (QPSolverConfig, SPGSolverConfig, make_config,
 from ..models.archetypal_analysis import (_cost_from_parts,
                                           _spg_cfg_to_quad_kwargs)
 from ..ops.simplex_projection import simplex_project_rows
-from ..solvers.spg import quad_spg, quad_simplex_spg_batch
+from ..solvers.spg import (quad_spg, quad_simplex_spg_batch,
+                           quad_simplex_spg_batch_grouped)
 from ..utils.precision import apply_matmul_precision
 
 __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
@@ -48,19 +49,21 @@ __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
 
 
 
-def _xla_weights_kwargs(weights_solver_kwargs):
-    """Resolve weights-QP kwargs for the sharded paths, which run the
-    QP under a restart ``vmap`` — the fused Pallas kernel cannot nest
-    there (ops/pallas_qp.py), so a requested 'pallas' backend must fail
-    loudly instead of silently running the XLA path (the degradation
-    bug fixed for the single-chip cores in round 2)."""
+def _weights_backend_kwargs(weights_solver_kwargs):
+    """Resolve the weights-QP backend + kwargs for the sharded paths.
+
+    The restart-batched QP dispatches through
+    ``quad_simplex_spg_batch_grouped``: 'xla' vmaps the lockstep
+    solver, 'pallas' runs all restarts in one fused grouped kernel
+    (ops/pallas_qp.py:quad_simplex_qp_pallas_grouped — the
+    single-Hessian kernel cannot nest under vmap, which is why round
+    2 rejected 'pallas' here)."""
     cfg = make_config(QPSolverConfig, weights_solver_kwargs)
-    if cfg.backend != 'xla':
+    if cfg.backend not in ('xla', 'pallas'):
         raise ValueError(
-            "sharded fits run the weights QP inside a restart vmap, "
-            "where backend=%r is unsupported; use backend='xla' (the "
-            "default) or the single-chip pallas path" % (cfg.backend,))
-    return cfg.kwargs()
+            "unknown weights-QP backend %r; use 'xla' or 'pallas'"
+            % (cfg.backend,))
+    return cfg.backend, cfg.kwargs()
 
 
 @apply_matmul_precision
@@ -85,22 +88,17 @@ def distributed_gram(mesh, X, feature_axis="samples"):
 # ---------------------------------------------------------------------------
 
 
-def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
-                      dict_kwargs, weights_kwargs, scale_kwargs,
-                      sample_axis, trace_K=None):
-    """One AA alternating iteration on a sample-sharded state.
+def _aa_pre_weights(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
+                    dict_kwargs, scale_kwargs, sample_axis):
+    """Scale-factor and dictionary updates of one AA iteration plus the
+    weights-QP operands (everything before the weights solve).
 
     Mirrors the update order and factorization of the single-device core
     (models/archetypal_analysis._kernel_aa_core body: scale factors →
-    dictionary → weights → residual cost), with the k-sized contractions
-    crossing sample shards via ``psum``/``all_gather``.
-
-    ``X_loc``/``K_loc``/``Z_loc`` hold this shard's sample rows; ``C``
-    and ``alpha`` are replicated within the sample group.  For
-    kernel-only input (no data matrix), pass ``X_loc=None`` and the
-    replicated ``trace_K``: the cost uses the kernel trace form
-    (models/archetypal_analysis.kernel_aa_cost) instead of the explicit
-    residual.
+    dictionary → weights QP operands), with the k-sized contractions
+    crossing sample shards via ``psum``/``all_gather``.  ``X_loc`` is
+    unused here (the split exists so the weights QP can batch across
+    restarts — see :func:`_aa_iterate_batch`).
     """
     n_loc = K_loc.shape[0]
     n_samples = C.shape[1]
@@ -135,28 +133,88 @@ def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
 
     C = quad_spg(matvec, B, C, simplex_project_rows, **dict_kwargs)
 
-    # --- weights update (local rows; parity with
-    # update_kernel_aa_weights) ---
+    # --- weights-QP operands (parity with update_kernel_aa_weights) ---
     CK = jax.lax.psum(cols(C) @ K_loc, sample_axis)
     CKCt = CK @ C.T
     A = (alpha[:, None] * CKCt) * alpha[None, :]
     B_w = -(alpha[:, None] * cols(CK)).T             # (n_loc, k)
-    Z_loc = quad_simplex_spg_batch(A, B_w, Z_loc, **weights_kwargs)
+    return C, alpha, A, B_w, CK, CKCt
+
+
+def _aa_iter_cost(X_loc, Z_loc, C, alpha, CK, CKCt, trace_K, sample_axis):
+    """Post-weights cost of one AA iteration: explicit residual when a
+    data matrix is available, kernel trace form otherwise."""
+    n_loc = Z_loc.shape[0]
+    n_samples = C.shape[1]
+    shard = jax.lax.axis_index(sample_axis)
+
+    def cols(M):
+        return jax.lax.dynamic_slice_in_dim(M, shard * n_loc, n_loc, axis=1)
 
     if X_loc is not None:
         # --- residual cost (the _kernel_aa_core has_data form) ---
         CX = jax.lax.psum(cols(C) @ X_loc, sample_axis)  # (k, d)
         resid = Z_loc @ (alpha[:, None] * CX) - X_loc
-        cost = jax.lax.psum(jnp.sum(resid * resid), sample_axis) \
+        return jax.lax.psum(jnp.sum(resid * resid), sample_axis) \
             * 0.5 / n_samples
-    else:
-        # --- kernel trace form (no data matrix available) ---
-        CKZ = jax.lax.psum(cols(CK) @ Z_loc, sample_axis)
-        ZtZ_new = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
-        cost = _cost_from_parts(trace_K, CKZ, ZtZ_new, CKCt, alpha,
-                                n_samples)
+    # --- kernel trace form (no data matrix available) ---
+    CKZ = jax.lax.psum(cols(CK) @ Z_loc, sample_axis)
+    ZtZ_new = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
+    return _cost_from_parts(trace_K, CKZ, ZtZ_new, CKCt, alpha, n_samples)
 
+
+def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
+                      dict_kwargs, weights_kwargs, scale_kwargs,
+                      sample_axis, trace_K=None):
+    """One AA alternating iteration on a sample-sharded state.
+
+    ``X_loc``/``K_loc``/``Z_loc`` hold this shard's sample rows; ``C``
+    and ``alpha`` are replicated within the sample group.  For
+    kernel-only input (no data matrix), pass ``X_loc=None`` and the
+    replicated ``trace_K``: the cost uses the kernel trace form
+    (models/archetypal_analysis.kernel_aa_cost) instead of the explicit
+    residual.
+    """
+    C, alpha, A, B_w, CK, CKCt = _aa_pre_weights(
+        X_loc, K_loc, Z_loc, C, alpha, delta=delta, do_scale=do_scale,
+        dict_kwargs=dict_kwargs, scale_kwargs=scale_kwargs,
+        sample_axis=sample_axis)
+    Z_loc = quad_simplex_spg_batch(A, B_w, Z_loc, **weights_kwargs)
+    cost = _aa_iter_cost(X_loc, Z_loc, C, alpha, CK, CKCt, trace_K,
+                         sample_axis)
     return Z_loc, C, alpha, cost
+
+
+def _aa_iterate_batch(X_loc, K_loc, *, delta, do_scale, dict_kwargs,
+                      weights_backend, weights_kwargs, scale_kwargs,
+                      sample_axis, trace_K=None):
+    """Build the restart-batched AA iterate for :func:`_keep_best_loop`.
+
+    The scale/dictionary updates vmap over the local restart axis; the
+    weights QP batches across restarts through
+    :func:`solvers.spg.quad_simplex_spg_batch_grouped`, so
+    ``weights_backend='pallas'`` runs ALL restarts' row QPs in one
+    fused grouped kernel (a plain vmap over the single-Hessian kernel
+    cannot nest).
+    """
+    def pre(Z, C, a):
+        return _aa_pre_weights(
+            X_loc, K_loc, Z, C, a, delta=delta, do_scale=do_scale,
+            dict_kwargs=dict_kwargs, scale_kwargs=scale_kwargs,
+            sample_axis=sample_axis)
+
+    def cost_of(Z, C, a, CK, CKCt):
+        return _aa_iter_cost(X_loc, Z, C, a, CK, CKCt, trace_K,
+                             sample_axis)
+
+    def iterate_batch(Zs, Cs, alphas):
+        Cs, alphas, As, Bws, CKs, CKCts = jax.vmap(pre)(Zs, Cs, alphas)
+        Zs = quad_simplex_spg_batch_grouped(
+            As, Bws, Zs, backend=weights_backend, **weights_kwargs)
+        costs = jax.vmap(cost_of)(Zs, Cs, alphas, CKs, CKCts)
+        return Zs, Cs, alphas, costs
+
+    return iterate_batch
 
 
 def _aa_local_cost(X_loc, Z_loc, C, alpha, sample_axis):
@@ -191,11 +249,13 @@ def _kernel_aa_local_cost(K_loc, Z_loc, C, alpha, trace_K, sample_axis):
 # ---------------------------------------------------------------------------
 
 
-def _keep_best_loop(states, cost0, iterate, *, tolerance, criterion,
+def _keep_best_loop(states, cost0, iterate_batch, *, tolerance, criterion,
                     max_iterations):
-    """Run vmapped local restarts to convergence with per-restart
+    """Run batched local restarts to convergence with per-restart
     freezing.  ``states`` is a pytree with a leading local-restart axis;
-    ``iterate(*leaves) -> (*leaves, cost)``."""
+    ``iterate_batch(*leaves) -> (*leaves, costs)`` advances the whole
+    restart batch one alternating iteration (typically built by
+    :func:`_aa_iterate_batch`, or an inline ``jax.vmap``)."""
     R_loc = cost0.shape[0]
     trace = jnp.zeros((R_loc, max_iterations), cost0.dtype)
     n_iters = jnp.zeros((R_loc,), jnp.int32)
@@ -207,7 +267,7 @@ def _keep_best_loop(states, cost0, iterate, *, tolerance, criterion,
 
     def body(carry):
         states, cost, it, done, trace, n_iters = carry
-        out = jax.vmap(iterate)(*states)
+        out = iterate_batch(*states)
         new_states, new_cost = tuple(out[:-1]), out[-1]
         # Converged restarts freeze (lockstep, like the vmapped
         # single-chip batch); the rest advance.
@@ -342,7 +402,8 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
 
     dict_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, dictionary_solver_kwargs))
-    weights_kwargs = _xla_weights_kwargs(weights_solver_kwargs)
+    weights_backend, weights_kwargs = _weights_backend_kwargs(
+        weights_solver_kwargs)
     scale_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, scale_factors_solver_kwargs))
 
@@ -365,19 +426,18 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
         X_full = jax.lax.all_gather(X_loc, sample_axis, tiled=True)
         K_loc = X_loc @ X_full.T
 
-        def iterate(Z_loc, C, alpha):
-            return _aa_local_iterate(
-                X_loc, K_loc, Z_loc, C, alpha, delta=delta,
-                do_scale=do_scale, dict_kwargs=dict_kwargs,
-                weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
-                sample_axis=sample_axis)
+        iterate_batch = _aa_iterate_batch(
+            X_loc, K_loc, delta=delta, do_scale=do_scale,
+            dict_kwargs=dict_kwargs, weights_backend=weights_backend,
+            weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
+            sample_axis=sample_axis)
 
         cost0 = jax.vmap(
             lambda Z, C, a: _aa_local_cost(X_loc, Z, C, a, sample_axis)
         )(Zs_loc, Cs_loc, alphas_loc)
 
         states, costs, trace, n_iters = _keep_best_loop(
-            (Zs_loc, Cs_loc, alphas_loc), cost0, iterate,
+            (Zs_loc, Cs_loc, alphas_loc), cost0, iterate_batch,
             tolerance=tolerance, criterion=stopping_criterion,
             max_iterations=max_iterations)
 
@@ -429,7 +489,8 @@ def sharded_kernel_aa_fit(mesh, K, Zs, Cs, alphas, *, delta=0.0,
 
     dict_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, dictionary_solver_kwargs))
-    weights_kwargs = _xla_weights_kwargs(weights_solver_kwargs)
+    weights_backend, weights_kwargs = _weights_backend_kwargs(
+        weights_solver_kwargs)
     scale_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, scale_factors_solver_kwargs))
 
@@ -455,12 +516,11 @@ def sharded_kernel_aa_fit(mesh, K, Zs, Cs, alphas, *, delta=0.0,
             K_loc, shard * n_loc, n_loc, axis=1)
         trace_K = jax.lax.psum(jnp.trace(diag_block), sample_axis)
 
-        def iterate(Z_loc, C, alpha):
-            return _aa_local_iterate(
-                None, K_loc, Z_loc, C, alpha, delta=delta,
-                do_scale=do_scale, dict_kwargs=dict_kwargs,
-                weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
-                sample_axis=sample_axis, trace_K=trace_K)
+        iterate_batch = _aa_iterate_batch(
+            None, K_loc, delta=delta, do_scale=do_scale,
+            dict_kwargs=dict_kwargs, weights_backend=weights_backend,
+            weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
+            sample_axis=sample_axis, trace_K=trace_K)
 
         cost0 = jax.vmap(
             lambda Z, C, a: _kernel_aa_local_cost(
@@ -468,7 +528,7 @@ def sharded_kernel_aa_fit(mesh, K, Zs, Cs, alphas, *, delta=0.0,
         )(Zs_loc, Cs_loc, alphas_loc)
 
         states, costs, trace, n_iters = _keep_best_loop(
-            (Zs_loc, Cs_loc, alphas_loc), cost0, iterate,
+            (Zs_loc, Cs_loc, alphas_loc), cost0, iterate_batch,
             tolerance=tolerance, criterion=stopping_criterion,
             max_iterations=max_iterations)
 
@@ -512,7 +572,8 @@ def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
     n_restarts = Zs.shape[0]
     if n_valid_restarts is None:
         n_valid_restarts = n_restarts
-    weights_kwargs = _xla_weights_kwargs(weights_solver_kwargs)
+    weights_backend, weights_kwargs = _weights_backend_kwargs(
+        weights_solver_kwargs)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -542,21 +603,27 @@ def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
             return (jax.lax.psum(jnp.sum(resid * resid), sample_axis)
                     * 0.5 / n_samples + penalty(W))
 
-        def iterate(Z_loc, W):
+        def dict_update(Z_loc):
             # dictionary: (Z'Z/n + lambda_W G_W) W' = Z'X/n, replicated
             ZtZ = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
             ZtX = jax.lax.psum(Z_loc.T @ X_loc, sample_axis)
             lhs = ZtZ / n_samples + lambda_W * GW
             W = jnp.linalg.lstsq(lhs, ZtX / n_samples)[0].T
-            # weights: local rows, replicated k x k Hessian
-            WtW = W.T @ W
-            Z_loc = quad_simplex_spg_batch(WtW, -(X_loc @ W), Z_loc,
-                                           **weights_kwargs)
-            return Z_loc, W, cost_of(Z_loc, W)
+            return W, W.T @ W, -(X_loc @ W)
+
+        def iterate_batch(Zs_l, Ws_l):
+            # dictionary per restart; weights QPs grouped across
+            # restarts (pallas backend runs them in one fused kernel).
+            Ws_l, WtWs, Bs = jax.vmap(dict_update)(Zs_l)
+            Zs_l = quad_simplex_spg_batch_grouped(
+                WtWs, Bs, Zs_l, backend=weights_backend,
+                **weights_kwargs)
+            costs = jax.vmap(cost_of)(Zs_l, Ws_l)
+            return Zs_l, Ws_l, costs
 
         cost0 = jax.vmap(cost_of)(Zs_loc, Ws_loc)
         states, costs, trace, n_iters = _keep_best_loop(
-            (Zs_loc, Ws_loc), cost0, iterate, tolerance=tolerance,
+            (Zs_loc, Ws_loc), cost0, iterate_batch, tolerance=tolerance,
             criterion=stopping_criterion, max_iterations=max_iterations)
 
         best, best_cost, best_n_iter, best_trace = _select_best(

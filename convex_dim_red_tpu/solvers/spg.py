@@ -51,6 +51,7 @@ __all__ = [
     "quad_spg",
     "quad_simplex_spg",
     "quad_simplex_spg_batch",
+    "quad_simplex_spg_batch_grouped",
     "line_search_step_length",
     "cauchy_step_size",
 ]
@@ -448,7 +449,9 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", mask=None,
 
     ``backend='pallas'`` routes to the fused VMEM-resident TPU kernel
     (ops/pallas_qp.py): the whole solve runs in one ``pallas_call`` with
-    per-block early exit (TPU only; cannot be nested under ``vmap``).
+    per-block early exit (TPU only; cannot be nested under ``vmap`` —
+    for a restart batch of Hessians use
+    :func:`quad_simplex_spg_batch_grouped`).
 
     ``mask`` (shared across rows) restricts every row's QP to the
     masked sub-simplex.  Both backends support it; on the Pallas path
@@ -458,10 +461,7 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", mask=None,
     if backend == "pallas":
         from ..ops.pallas_qp import (quad_simplex_qp_pallas,
                                      quad_simplex_qp_pallas_packed)
-        keep = {k: v for k, v in solver_kwargs.items()
-                if k in ("max_iterations", "alpha0", "alpha_min",
-                         "alpha_max", "epsilon_one", "epsilon_two",
-                         "interpret")}
+        keep = _pallas_qp_kwargs(solver_kwargs)
         # Lane-packed variant for small k (full VPU/MXU utilization).
         if jnp.shape(B)[1] <= 64:
             return quad_simplex_qp_pallas_packed(A, B, X0, mask=mask,
@@ -470,3 +470,33 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", mask=None,
     solve = lambda b, x0: quad_simplex_spg(A, b, x0, mask=mask,
                                            **solver_kwargs)
     return jax.vmap(solve)(B, X0)
+
+
+def _pallas_qp_kwargs(solver_kwargs):
+    return {k: v for k, v in solver_kwargs.items()
+            if k in ("max_iterations", "alpha0", "alpha_min",
+                     "alpha_max", "epsilon_one", "epsilon_two",
+                     "interpret")}
+
+
+@apply_matmul_precision
+def quad_simplex_spg_batch_grouped(As, Bs, X0s, backend="xla", mask=None,
+                                   **solver_kwargs):
+    """Solve ``R`` groups of simplex QPs, one shared Hessian per group.
+
+    ``As``: (R, k, k); ``Bs``/``X0s``: (R, n, k).  Returns (R, n, k).
+    This is the restart-batched form of :func:`quad_simplex_spg_batch`
+    used inside vmapped/sharded multi-restart fits, where every restart
+    carries its own Hessian.  ``backend='pallas'`` runs all groups in
+    ONE fused kernel (the group axis becomes a grid dimension,
+    ops/pallas_qp.py:quad_simplex_qp_pallas_grouped) — the single-
+    Hessian pallas kernel cannot nest under ``vmap``.  ``mask`` is
+    shared across groups.
+    """
+    if backend == "pallas":
+        from ..ops.pallas_qp import quad_simplex_qp_pallas_grouped
+        return quad_simplex_qp_pallas_grouped(
+            As, Bs, X0s, mask=mask, **_pallas_qp_kwargs(solver_kwargs))
+    solve = lambda A, B, X0: quad_simplex_spg_batch(
+        A, B, X0, backend="xla", mask=mask, **solver_kwargs)
+    return jax.vmap(solve)(As, Bs, X0s)

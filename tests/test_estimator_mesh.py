@@ -203,6 +203,35 @@ def test_pca_estimator_mesh_matches_gram_path():
     assert np.allclose(np.asarray(X_rec), np.asarray(X_rec0), atol=1e-8)
 
 
+def test_checkpoint_resume_through_sharded_estimator(tmp_path):
+    """A checkpoint written mid-fit warm-starts a sharded fit via
+    init='custom' + mesh= (the sharded analog of the single-device
+    resume path, utils/checkpoint.py)."""
+    from convex_dim_red_tpu.utils.checkpoint import (save_checkpoint,
+                                                     load_checkpoint)
+
+    rng = np.random.RandomState(11)
+    n, k = 32, 3
+    X, _ = _planted(rng, n_samples=n, n_components=k)
+    K = X @ X.T
+    mesh = create_mesh(shape=(8,), axis_names=("samples",))
+
+    part = KernelAA(n_components=k, init='random', random_state=0,
+                    tolerance=0, max_iterations=5, mesh=mesh)
+    part.fit(K)  # tolerance=0: runs the full 5 iterations, no warning
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {'weights': part.weights,
+                           'dictionary': part.dictionary})
+    state = load_checkpoint(path)
+
+    resumed = KernelAA(n_components=k, init='custom', tolerance=1e-10,
+                       max_iterations=300, mesh=mesh)
+    resumed.fit(K, weights=state['weights'],
+                dictionary=state['dictionary'])
+    assert resumed.cost <= part.cost + 1e-12
+    assert resumed.cost < 1e-6  # planted optimum reached after resume
+
+
 def test_estimator_mesh_validation_errors():
     rng = np.random.RandomState(10)
     X, _ = _planted(rng, n_samples=30, n_components=3)  # 30 % 8 != 0
@@ -218,10 +247,10 @@ def test_estimator_mesh_validation_errors():
         KernelAA(n_components=3, init='random', random_state=0,
                  mesh=mesh_r).fit(X32 @ X32.T)
 
-    # Requesting the pallas weights backend under mesh= fails loudly
-    # (sharded QPs run inside a restart vmap).
-    with pytest.raises(ValueError, match="pallas"):
+    # Unknown weights-QP backends fail loudly under mesh= ('pallas'
+    # itself is supported via the grouped kernel).
+    with pytest.raises(ValueError, match="backend"):
         ArchetypalAnalysis(
             n_components=3, init='random', random_state=0,
-            mesh=mesh, weights_solver_kwargs={'backend': 'pallas'},
+            mesh=mesh, weights_solver_kwargs={'backend': 'numba'},
         ).fit(X32)

@@ -392,10 +392,10 @@ def test_mesh_restarts_fewer_than_axis_size():
     assert np.isfinite(gres['cost'])
 
 
-def test_sharded_fit_rejects_pallas_backend():
-    """The sharded fits run the weights QP under a restart vmap where
-    the Pallas kernel cannot nest; a requested pallas backend must fail
-    loudly instead of silently running XLA."""
+def test_sharded_fit_rejects_unknown_backend():
+    """'pallas' is now a supported sharded weights backend (grouped
+    kernel); anything else must still fail loudly instead of silently
+    running XLA."""
     import pytest
     from convex_dim_red_tpu.parallel.sharded_aa import sharded_aa_fit
     rng = np.random.RandomState(12)
@@ -404,9 +404,9 @@ def test_sharded_fit_rejects_pallas_backend():
     Cs = rng.dirichlet(np.ones(16), (2, 2))
     alphas = np.ones((2, 2))
     mesh = create_mesh(shape=(1, 8), axis_names=("restarts", "samples"))
-    with pytest.raises(ValueError, match="pallas"):
+    with pytest.raises(ValueError, match="backend"):
         sharded_aa_fit(mesh, X, Zs, Cs, alphas,
-                       weights_solver_kwargs={'backend': 'pallas'})
+                       weights_solver_kwargs={'backend': 'numba'})
 
 
 def test_mesh_partial_final_chunk_masks_pad_restarts():
@@ -598,6 +598,66 @@ def test_sharded_gap_statistic_matches_single_device():
         # Same per-trial keys, trials distributed: identical statistics.
         assert gap == pytest.approx(gap0, rel=1e-10)
         assert sk == pytest.approx(sk0, rel=1e-10)
+
+
+def test_sharded_fits_pallas_weights_match_xla(monkeypatch):
+    """backend='pallas' in the sharded fits routes the restart-batched
+    weights QPs through the grouped fused kernel (interpret mode here)
+    and converges to the same optimum as the XLA backend."""
+    import convex_dim_red_tpu.parallel.sharded_aa as sa
+    from convex_dim_red_tpu.solvers.spg import (
+        quad_simplex_spg_batch_grouped)
+
+    backends_seen = []
+
+    def grouped_interpret(As, Bs, X0s, backend='xla', mask=None, **kw):
+        backends_seen.append(backend)
+        if backend == 'pallas':
+            kw = dict(kw, interpret=True)  # no TPU in the test mesh
+        return quad_simplex_spg_batch_grouped(As, Bs, X0s,
+                                              backend=backend,
+                                              mask=mask, **kw)
+
+    monkeypatch.setattr(sa, 'quad_simplex_spg_batch_grouped',
+                        grouped_interpret)
+
+    rng = np.random.RandomState(13)
+    n, k, R = 32, 3, 4
+    X, _ = _planted(rng, n_samples=n, n_components=k, n_features=6)
+    Zs = rng.uniform(size=(R, n, k))
+    Zs /= Zs.sum(axis=2, keepdims=True)
+    Cs = rng.uniform(size=(R, k, n))
+    Cs /= Cs.sum(axis=2, keepdims=True)
+    alphas = np.ones((R, k))
+    mesh = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+
+    kw = dict(tolerance=1e-10, max_iterations=120)
+    res_p = sa.sharded_aa_fit(
+        mesh, jnp.asarray(X), jnp.asarray(Zs), jnp.asarray(Cs),
+        jnp.asarray(alphas),
+        weights_solver_kwargs={'backend': 'pallas'}, **kw)
+    res_x = sa.sharded_aa_fit(
+        mesh, jnp.asarray(X), jnp.asarray(Zs), jnp.asarray(Cs),
+        jnp.asarray(alphas), **kw)
+
+    assert 'pallas' in backends_seen
+    # Different inner solvers (fused early-exit vs lockstep) -> same
+    # optimum on planted data, compared at the convergence floor.
+    assert float(res_p['cost']) < 1e-6
+    assert abs(float(res_p['cost']) - float(res_x['cost'])) < 1e-6
+    assert np.allclose(np.asarray(res_p['weights']).sum(axis=1), 1.0,
+                       atol=1e-6)
+
+    # GPNH analog.
+    Ws = rng.standard_normal((R, 6, k))
+    gres_p = sa.sharded_gpnh_fit(
+        mesh, jnp.asarray(X), jnp.asarray(Zs), jnp.asarray(Ws),
+        lambda_W=1e-3, weights_solver_kwargs={'backend': 'pallas'},
+        **kw)
+    gres_x = sa.sharded_gpnh_fit(
+        mesh, jnp.asarray(X), jnp.asarray(Zs), jnp.asarray(Ws),
+        lambda_W=1e-3, **kw)
+    assert abs(float(gres_p['cost']) - float(gres_x['cost'])) < 1e-6
 
 
 def test_sharded_kernel_aa_fit_matches_data_space():
