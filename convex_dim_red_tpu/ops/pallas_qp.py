@@ -30,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["quad_simplex_qp_pallas", "quad_simplex_qp_pallas_grouped",
-           "quad_simplex_qp_pallas_packed"]
+           "quad_simplex_qp_pallas_packed",
+           "quad_simplex_qp_pallas_packed_grouped"]
 
 LANES = 128
 
@@ -350,30 +351,26 @@ def quad_simplex_qp_pallas_grouped(As, Bs, X0s, max_iterations=1000,
 # ---------------------------------------------------------------------------
 
 
-def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, M_ref, out_ref,
-                   X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
-                   k_pad, max_iterations, alpha0, alpha_min, alpha_max,
-                   epsilon_one, epsilon_two, bisect_steps):
+def _packed_solve_vmem(A, B, X0, S, mask, write_out,
+                       X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
+                       k_pad, max_iterations, alpha0, alpha_min,
+                       alpha_max, epsilon_one, epsilon_two, bisect_steps):
     """QP solve with P = LANES // k_pad problems packed per lane row.
 
-    ``A_ref`` holds the block-diagonal (LANES, LANES) Hessian (P copies
+    ``A`` holds the block-diagonal (LANES, LANES) Hessian (P copies
     of the padded k x k block), so one MXU matmul performs P matvecs;
-    ``S_ref`` is the 0/1 segment mask whose matmul computes
-    sum-and-broadcast over each k_pad-lane segment.  ``M_ref`` is the
+    ``S`` is the 0/1 segment mask whose matmul computes
+    sum-and-broadcast over each k_pad-lane segment.  ``mask`` is the
     runtime active-lane mask (the per-problem component mask tiled into
     every segment — see :func:`_qp_kernel` on why it is runtime).
     Segment max uses a masked roll butterfly.  Per-problem scalars live
     broadcast across their segment's lanes.
     """
-    dtype = X0_ref.dtype
-    block = X0_ref.shape[0]
+    dtype = X0.dtype
+    block = X0.shape[0]
 
-    A = A_ref[:]
-    B = B_ref[:]
-    S = S_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
     pos = lane % k_pad
-    mask = jnp.broadcast_to(M_ref[0:1, :], (block, LANES)) > 0.5
     neg = jnp.asarray(-1e30, dtype)
 
     def segsum(v):
@@ -412,7 +409,7 @@ def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, M_ref, out_ref,
         tau = 0.5 * (lo + hi)
         return jnp.where(mask, jnp.maximum(x - tau, 0.0), 0.0)
 
-    X = project(X0_ref[:])
+    X = project(X0)
     AX = jnp.dot(X, A, preferred_element_type=dtype,
                  precision=jax.lax.Precision.HIGHEST)
 
@@ -488,7 +485,37 @@ def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, M_ref, out_ref,
 
     jax.lax.while_loop(cond, body,
                        (jnp.asarray(0, jnp.int32), jnp.asarray(True)))
-    out_ref[:] = project(X_ref[:])
+    write_out(project(X_ref[:]))
+
+
+def _packed_kernel(A_ref, B_ref, X0_ref, S_ref, M_ref, out_ref,
+                   X_ref, AX_ref, alpha_ref, active_ref, stall_ref,
+                   **statics):
+    block = X0_ref.shape[0]
+    mask = jnp.broadcast_to(M_ref[0:1, :], (block, LANES)) > 0.5
+
+    def write_out(v):
+        out_ref[:] = v
+
+    _packed_solve_vmem(A_ref[:], B_ref[:], X0_ref[:], S_ref[:], mask,
+                       write_out, X_ref, AX_ref, alpha_ref, active_ref,
+                       stall_ref, **statics)
+
+
+def _grouped_packed_kernel(A_ref, B_ref, X0_ref, S_ref, M_ref, out_ref,
+                           X_ref, AX_ref, alpha_ref, active_ref,
+                           stall_ref, **statics):
+    """Grouped lane-packed variant: A/B/X0/out refs carry a leading
+    group dim of 1 (one block-diagonal Hessian per grid group)."""
+    block = X0_ref.shape[1]
+    mask = jnp.broadcast_to(M_ref[0:1, :], (block, LANES)) > 0.5
+
+    def write_out(v):
+        out_ref[0, :, :] = v
+
+    _packed_solve_vmem(A_ref[0], B_ref[0], X0_ref[0], S_ref[:], mask,
+                       write_out, X_ref, AX_ref, alpha_ref, active_ref,
+                       stall_ref, **statics)
 
 
 def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
@@ -567,3 +594,92 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
     )(A_blk, pack(B), pack(X0), S, M_in)
 
     return out.reshape(n_pad, k_pad)[:n, :k]
+
+
+def quad_simplex_qp_pallas_packed_grouped(As, Bs, X0s,
+                                          max_iterations=1000,
+                                          alpha0=-1.0, alpha_min=1e-5,
+                                          alpha_max=1e3,
+                                          epsilon_one=1e-10,
+                                          epsilon_two=1e-6,
+                                          block_rows=256,
+                                          interpret=False, mask=None):
+    """Grouped lane-packed QP solve: R groups (one Hessian each), P
+    problems per lane row within each group.
+
+    ``As``: (R, k, k); ``Bs``/``X0s``: (R, n, k); returns (R, n, k).
+    Combines :func:`quad_simplex_qp_pallas_packed`'s full-lane
+    utilization for small ``k`` with
+    :func:`quad_simplex_qp_pallas_grouped`'s per-restart Hessians (the
+    restart-batched weights QPs of vmapped/sharded fits at case-study
+    ``k``).  ``mask`` is shared across groups.
+    """
+    As = jnp.asarray(As)
+    Bs = jnp.asarray(Bs)
+    X0s = jnp.asarray(X0s)
+    R, n, k = Bs.shape
+    k_pad = 8
+    while k_pad < k:
+        k_pad *= 2
+    if k_pad > 64:
+        raise ValueError(f"packed kernel supports k <= 64, got {k}")
+    P = LANES // k_pad
+    dtype = X0s.dtype
+
+    rows = -(-n // P)
+    rows_pad = -(-rows // block_rows) * block_rows
+    n_pad = rows_pad * P
+
+    def pack(M):
+        Mp = jnp.zeros((R, n_pad, k_pad), dtype).at[:, :n, :k].set(M)
+        return Mp.reshape(R, rows_pad, LANES)
+
+    A_pad = jnp.zeros((R, k_pad, k_pad), dtype).at[:, :k, :k].set(As)
+    eye_P = jnp.eye(P, dtype=dtype)
+    A_blk = jax.vmap(lambda Ap: jnp.kron(eye_P, Ap))(A_pad)
+
+    seg = jnp.arange(LANES) // k_pad
+    S = (seg[:, None] == seg[None, :]).astype(dtype)
+
+    active = (jnp.ones((k,), dtype) if mask is None
+              else jnp.asarray(mask).astype(dtype))
+    lane_act = jnp.tile(jnp.zeros((k_pad,), dtype).at[:k].set(active), P)
+    M_in = jnp.broadcast_to(lane_act[None, :], (8, LANES))
+
+    kernel = functools.partial(
+        _grouped_packed_kernel, k_pad=k_pad,
+        max_iterations=int(max_iterations), alpha0=float(alpha0),
+        alpha_min=float(alpha_min), alpha_max=float(alpha_max),
+        epsilon_one=float(epsilon_one), epsilon_two=float(epsilon_two),
+        bisect_steps=26 if dtype == jnp.float32 else 52)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(R, rows_pad // block_rows),
+        in_specs=[
+            pl.BlockSpec((1, LANES, LANES), lambda r, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, LANES), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, LANES), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, LANES),
+                               lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, rows_pad, LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+            pltpu.VMEM((block_rows, LANES), dtype),
+        ],
+        interpret=interpret,
+    )(A_blk, pack(Bs), pack(X0s), S, M_in)
+
+    return out.reshape(R, n_pad, k_pad)[:, :n, :k]

@@ -494,9 +494,16 @@ def quad_simplex_spg_batch_grouped(As, Bs, X0s, backend="xla", mask=None,
     shared across groups.
     """
     if backend == "pallas":
-        from ..ops.pallas_qp import quad_simplex_qp_pallas_grouped
-        return quad_simplex_qp_pallas_grouped(
-            As, Bs, X0s, mask=mask, **_pallas_qp_kwargs(solver_kwargs))
+        from ..ops.pallas_qp import (quad_simplex_qp_pallas_grouped,
+                                     quad_simplex_qp_pallas_packed_grouped)
+        keep = _pallas_qp_kwargs(solver_kwargs)
+        # Lane-packed variant for small k (full VPU/MXU utilization),
+        # mirroring the single-Hessian dispatch.
+        if jnp.shape(Bs)[2] <= 64:
+            return quad_simplex_qp_pallas_packed_grouped(
+                As, Bs, X0s, mask=mask, **keep)
+        return quad_simplex_qp_pallas_grouped(As, Bs, X0s, mask=mask,
+                                              **keep)
     solve = lambda A, B, X0: quad_simplex_spg_batch(
         A, B, X0, backend="xla", mask=mask, **solver_kwargs)
     return jax.vmap(solve)(As, Bs, X0s)

@@ -119,6 +119,53 @@ def test_grouped_masked_matches_masked_xla():
         assert np.abs(gap).max() < 1e-6
 
 
+@pytest.mark.parametrize("R,n,k", [(3, 33, 4), (4, 21, 6), (2, 18, 11)])
+def test_grouped_packed_matches_per_group_solves(R, n, k):
+    """The grouped lane-packed kernel must match the single-group
+    packed kernel per group and the XLA objective."""
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_packed,
+        quad_simplex_qp_pallas_packed_grouped)
+    rng = np.random.RandomState(9)
+    As, Bs, X0s = [], [], []
+    for _ in range(R):
+        A, B, X0 = _problem(rng, n, k)
+        As.append(A), Bs.append(B), X0s.append(X0)
+    As, Bs, X0s = map(np.asarray, (As, Bs, X0s))
+
+    Xg = np.asarray(quad_simplex_qp_pallas_packed_grouped(
+        As, Bs, X0s, max_iterations=500, interpret=True))
+    assert Xg.shape == (R, n, k)
+    for r in range(R):
+        X1 = np.asarray(quad_simplex_qp_pallas_packed(
+            As[r], Bs[r], X0s[r], max_iterations=500, interpret=True))
+        assert np.allclose(Xg[r], X1, atol=1e-10)
+        Xx = np.asarray(quad_simplex_spg_batch(
+            As[r], Bs[r], X0s[r], max_iterations=500))
+        gap = _obj(Xg[r], As[r], Bs[r]) - _obj(Xx, As[r], Bs[r])
+        assert np.abs(gap).max() < 1e-6
+
+
+def test_grouped_dispatch_picks_packed_for_small_k(monkeypatch):
+    """quad_simplex_spg_batch_grouped(backend='pallas') mirrors the
+    single-Hessian dispatch: packed for k <= 64, unpacked above."""
+    from convex_dim_red_tpu.solvers import spg as spg_mod
+    from convex_dim_red_tpu.ops import pallas_qp as pq
+
+    seen = []
+    monkeypatch.setattr(
+        pq, "quad_simplex_qp_pallas_packed_grouped",
+        lambda *a, **kw: (seen.append("packed"),
+                          pq.quad_simplex_qp_pallas_grouped(
+                              *a, **dict(kw, interpret=True)))[1])
+    rng = np.random.RandomState(10)
+    A, B, X0 = _problem(rng, 16, 4)
+    out = spg_mod.quad_simplex_spg_batch_grouped(
+        A[None], B[None], X0[None], backend='pallas', interpret=True)
+    assert seen == ["packed"]
+    assert np.asarray(out).shape == (1, 16, 4)
+
+
 @pytest.mark.parametrize("n,k", [(33, 3), (70, 6), (20, 11), (16, 33)])
 def test_packed_matches_xla_objective(n, k):
     from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas_packed
