@@ -891,6 +891,10 @@ class ArchetypalAnalysis:
             self._kernel_model._next_key(),
             (n_samples, self.n_components), dtype=data.dtype)
 
+        if self.mesh is not None:
+            return self._transform_sharded(data, archetypes, Z0,
+                                           cfg_kwargs)
+
         with matmul_precision_scope():
             A = archetypes @ archetypes.T
             B = -(data @ archetypes.T)
@@ -899,6 +903,38 @@ class ArchetypalAnalysis:
             resid = data - weights @ archetypes
         cost = 0.5 * float(jnp.sum(resid * resid)) / n_samples
         return weights, cost
+
+    def _transform_sharded(self, data, archetypes, Z0, cfg_kwargs):
+        """Mesh-sharded transform: the per-row weight QPs are
+        embarrassingly data-parallel over the sample axis (shared
+        k x k Hessian, no collectives until the final cost psum)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_samples = data.shape[0]
+        mesh = prepare_estimator_mesh(
+            self.mesh, n_samples, 'ArchetypalAnalysis.transform(mesh=...)')
+
+        with matmul_precision_scope():
+            A = archetypes @ archetypes.T
+            B = -(data @ archetypes.T)
+
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P('samples', None), P('samples', None),
+                          P('samples', None)),
+                out_specs=(P('samples', None), P()),
+                check_vma=False)
+            def solve(data_loc, B_loc, Z0_loc):
+                W_loc = quad_simplex_spg_batch(A, B_loc, Z0_loc,
+                                               **cfg_kwargs)
+                resid = data_loc - W_loc @ archetypes
+                ss = jax.lax.psum(jnp.sum(resid * resid), 'samples')
+                return W_loc, ss
+
+            weights, ss = solve(data, B, Z0)
+        self.weights = weights
+        return weights, 0.5 * float(ss) / n_samples
 
     def inverse_transform(self, weights):
         """Map weights back to data space: ``Z @ archetypes``."""

@@ -112,9 +112,13 @@ def test_archetypal_analysis_estimator_mesh_matches_single_device():
     # Planted hull: near-zero cost.
     assert est_m.cost < 1e-6
 
-    # transform() still works after a sharded fit (single-device path).
-    w, cost = est_m.transform(X[:8])
+    # transform() is mesh-sharded too (per-row QPs over the sample
+    # axis) and matches the single-device transform.
+    w, cost = est_m.transform(X[:16])
+    w0, cost0 = est_0.transform(X[:16])
     assert np.allclose(np.asarray(w).sum(axis=1), 1.0, atol=1e-8)
+    assert cost == pytest.approx(cost0, rel=1e-6, abs=1e-10)
+    assert np.allclose(np.asarray(w), np.asarray(w0), atol=1e-6)
 
 
 def test_archetypal_analysis_estimator_mesh_delta_scales_dictionary():
