@@ -84,14 +84,17 @@ def make_config(cls, kwargs):
     return cls(**kwargs)
 
 
-def prepare_estimator_mesh(mesh, n_samples, whom, dim_name='n_samples'):
+def prepare_estimator_mesh(mesh, n_samples, whom, dim_name='n_samples',
+                           single_fit=True):
     """Normalize and validate a ``mesh=`` given to an estimator.
 
-    Estimators run a SINGLE fit, so every device goes on the sample
-    axis: a 1-D mesh is lifted to ``(1, n_devices)`` and a 2-D mesh
-    must have a restart axis of size 1 (multi-restart sharding lives in
-    ``parallel.aa_fit_restarts`` / ``parallel.sharded_aa_fit``).  The
-    sample axis must divide ``n_samples`` (``shard_map`` constraint).
+    Most estimators run a SINGLE fit, so every device goes on the
+    sample axis: a 1-D mesh is lifted to ``(1, n_devices)`` and a 2-D
+    mesh must have a restart axis of size 1 (multi-restart sharding
+    lives in ``parallel.aa_fit_restarts`` / ``parallel.sharded_aa_fit``)
+    — pass ``single_fit=False`` for estimators with an internal restart
+    batch (KMeans ``n_init``).  The sample axis must divide
+    ``n_samples`` (``shard_map`` constraint).
     """
     # Deferred import: parallel imports models (solver configs), so a
     # top-level import here would be circular.
@@ -99,7 +102,7 @@ def prepare_estimator_mesh(mesh, n_samples, whom, dim_name='n_samples'):
 
     mesh = ensure_mesh_axes(mesh)
     n_restart_shards = mesh.shape['restarts']
-    if n_restart_shards != 1:
+    if single_fit and n_restart_shards != 1:
         raise ValueError(
             "%s: estimator-level mesh= runs one fit, so the 'restarts' "
             "mesh axis must have size 1 (got %d); shard multi-restart "

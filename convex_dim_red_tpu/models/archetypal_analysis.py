@@ -788,16 +788,21 @@ class ArchetypalAnalysis:
             self.n_components = data.shape[1]
             self._kernel_model.n_components = data.shape[1]
 
-        with matmul_precision_scope():
-            kernel = data @ data.T
-
         if self.mesh is not None \
                 and kwargs.get('update_dictionary', True) \
                 and kwargs.get('update_weights', True) \
                 and (float(self.delta) == 0.0
                      or kwargs.get('update_scale_factors', True)):
-            return self._fit_sharded(data, kernel, dictionary, weights,
+            # Route BEFORE forming the n x n Gram: the SPMD fit builds
+            # its local kernel blocks internally, so materializing the
+            # full Gram here would defeat the memory scaling mesh=
+            # provides (_fit_sharded forms it only for furthest_sum
+            # init, which inherently needs the full dissimilarities).
+            return self._fit_sharded(data, dictionary, weights,
                                      alpha, **kwargs)
+
+        with matmul_precision_scope():
+            kernel = data @ data.T
 
         self._kernel_model.fit_transform(
             kernel, dictionary=dictionary, weights=weights, alpha=alpha,
@@ -819,8 +824,7 @@ class ArchetypalAnalysis:
 
         return self.weights
 
-    def _fit_sharded(self, data, kernel, dictionary, weights, alpha,
-                     **kwargs):
+    def _fit_sharded(self, data, dictionary, weights, alpha, **kwargs):
         """SPMD fit over the estimator's mesh (single restart, every
         device on the sample axis); explicit-residual cost like the
         single-device data path."""
@@ -831,6 +835,14 @@ class ArchetypalAnalysis:
         mesh = prepare_estimator_mesh(self.mesh, data.shape[0],
                                       'ArchetypalAnalysis(mesh=...)')
         km._validate_params()
+        if km.init in (None, 'furthest_sum'):
+            # FurthestSum init needs the full dissimilarity structure.
+            with matmul_precision_scope():
+                kernel = data @ data.T
+        else:
+            # random/custom init only read the kernel's row count and
+            # dtype — a (n, 0) stand-in avoids the n^2 materialization.
+            kernel = data[:, :0]
         init_kwargs = {k: v for k, v in kwargs.items()
                        if k not in ('update_dictionary', 'update_weights',
                                     'update_scale_factors')}
@@ -892,8 +904,16 @@ class ArchetypalAnalysis:
             (n_samples, self.n_components), dtype=data.dtype)
 
         if self.mesh is not None:
-            return self._transform_sharded(data, archetypes, Z0,
-                                           cfg_kwargs)
+            # The per-row QPs are size-agnostic: shard when the rows
+            # divide the sample axis, otherwise fall back to the
+            # single-device solve (fit-on-big / transform-on-arbitrary
+            # row counts must keep working).
+            from ..parallel.mesh import ensure_mesh_axes
+            m = ensure_mesh_axes(self.mesh)
+            if (m.shape['restarts'] == 1
+                    and n_samples % m.shape['samples'] == 0):
+                return self._transform_sharded(data, archetypes, Z0,
+                                               cfg_kwargs)
 
         with matmul_precision_scope():
             A = archetypes @ archetypes.T

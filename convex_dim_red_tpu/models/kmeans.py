@@ -185,16 +185,12 @@ class KMeans:
         """SPMD fit over the estimator's mesh: samples over the sample
         axis, the n_init restarts over the restart axis."""
         # Deferred import: parallel imports this module's helpers.
-        from ..parallel.mesh import ensure_mesh_axes
+        from ._common import prepare_estimator_mesh
         from ..parallel.sharded_models import sharded_kmeans_fit
 
-        mesh = ensure_mesh_axes(self.mesh)
-        n_shards = mesh.shape['samples']
-        if X.shape[0] % n_shards:
-            raise ValueError(
-                "KMeans(mesh=...): n_samples (%d) must be divisible by "
-                "the mesh sample axis (%d devices)"
-                % (X.shape[0], n_shards))
+        mesh = prepare_estimator_mesh(self.mesh, X.shape[0],
+                                      'KMeans(mesh=...)',
+                                      single_fit=False)
         r_shards = mesh.shape['restarts']
         n_init_padded = -(-self.n_init // r_shards) * r_shards
 

@@ -31,27 +31,51 @@ __all__ = ["aa_model_selection_sweep", "gpnh_model_selection_sweep",
            "kmeans_model_selection_sweep"]
 
 
-def _sweep_ckpt_load(checkpoint_dir, k):
+def _sweep_fingerprint(data, key, params):
+    """Cheap config fingerprint stored with each sweep checkpoint: a
+    resumed sweep must be the SAME sweep (same data, key, and
+    hyperparameters), otherwise k-points silently mix incompatible
+    configurations."""
+    X = np.asarray(data)
+    probe = (tuple(X.shape), str(X.dtype),
+             float(X.sum(dtype=np.float64)),
+             np.asarray(key).tobytes().hex(),
+             tuple(sorted((k, repr(v)) for k, v in params.items())))
+    return repr(probe)
+
+
+def _sweep_ckpt_load(checkpoint_dir, k, fingerprint):
     """Load a completed sweep point, or None.  Sweep checkpointing is
     the long-multi-restart-sweep resume mechanism SURVEY.md §5 calls
-    for (the reference has none; its sweeps are notebook loops)."""
+    for (the reference has none; its sweeps are notebook loops).
+    Entries whose stored fingerprint does not match the current
+    sweep's configuration are ignored (and recomputed) with a
+    warning."""
     if checkpoint_dir is None:
         return None
     path = os.path.join(checkpoint_dir, "k_%03d.npz" % k)
     if not os.path.exists(path):
         return None
     with np.load(path) as data:
-        return {name: (data[name].item() if data[name].ndim == 0
-                       else data[name]) for name in data.files}
+        entry = {name: (data[name].item() if data[name].ndim == 0
+                        else data[name]) for name in data.files}
+    if entry.pop('_fingerprint', None) != fingerprint:
+        import warnings
+        warnings.warn(
+            "sweep checkpoint %s was written by a different sweep "
+            "configuration (data/key/params changed); recomputing"
+            % path, UserWarning)
+        return None
+    return entry
 
 
-def _sweep_ckpt_save(checkpoint_dir, k, entry):
+def _sweep_ckpt_save(checkpoint_dir, k, entry, fingerprint):
     if checkpoint_dir is None:
         return
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, "k_%03d.npz" % k)
-    np.savez(path, **{name: np.asarray(val)
-                      for name, val in entry.items()})
+    np.savez(path, _fingerprint=fingerprint,
+             **{name: np.asarray(val) for name, val in entry.items()})
 
 
 def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
@@ -81,6 +105,11 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', ...}}`` suitable
     for :func:`pipelines.analysis.model_selection_table`.
     """
+    fp = _sweep_fingerprint(data, key, dict(
+        n_init=n_init, delta=delta, init=init, tolerance=tolerance,
+        stopping_criterion=stopping_criterion,
+        max_iterations=max_iterations,
+        component_bucket=component_bucket, **solver_kwargs))
     results = {}
     for k in ks:
         k = int(k)
@@ -89,7 +118,7 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
             bucket = int(component_bucket)
             pad_to = -(-k // bucket) * bucket
         key, sub = jax.random.split(key)
-        done = _sweep_ckpt_load(checkpoint_dir, k)
+        done = _sweep_ckpt_load(checkpoint_dir, k, fp)
         if done is not None:
             results[k] = done
             continue
@@ -112,7 +141,7 @@ def aa_model_selection_sweep(data, ks, key, n_init=50, delta=0.0,
             'costs': np.asarray(fit['costs']),
         }
         results[int(k)] = entry
-        _sweep_ckpt_save(checkpoint_dir, k, entry)
+        _sweep_ckpt_save(checkpoint_dir, k, entry, fp)
     return results
 
 
@@ -139,11 +168,15 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
     Returns ``{k: {'cost', 'rmse', 'n_iter', 'elapsed', 'costs'}}``.
     """
     X = np.asarray(data)
+    fp = _sweep_fingerprint(data, key, dict(
+        n_init=n_init, lambda_W=lambda_W, init=init,
+        tolerance=tolerance, stopping_criterion=stopping_criterion,
+        max_iterations=max_iterations, **solver_kwargs))
     results = {}
     for k in ks:
         k = int(k)
         key, sub = jax.random.split(key)
-        done = _sweep_ckpt_load(checkpoint_dir, k)
+        done = _sweep_ckpt_load(checkpoint_dir, k, fp)
         if done is not None:
             results[k] = done
             continue
@@ -162,7 +195,7 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
             'elapsed': elapsed,
             'costs': np.asarray(fit['costs']),
         }
-        _sweep_ckpt_save(checkpoint_dir, k, results[k])
+        _sweep_ckpt_save(checkpoint_dir, k, results[k], fp)
     return results
 
 
@@ -185,10 +218,13 @@ def kmeans_model_selection_sweep(data, ks, key, n_init=10, n_trials=100,
         r_shards = mesh.shape['restarts']
         n_trials_eff = -(-int(n_trials) // r_shards) * r_shards
 
+    fp = _sweep_fingerprint(data, key, dict(
+        n_init=n_init, n_trials=n_trials, reference=reference,
+        max_iter=max_iter, sharded=mesh is not None))
     results = {}
     for k in ks:
         key, k_fit, k_gap = jax.random.split(key, 3)
-        done = _sweep_ckpt_load(checkpoint_dir, int(k))
+        done = _sweep_ckpt_load(checkpoint_dir, int(k), fp)
         if done is not None:
             results[int(k)] = done
             continue
@@ -216,5 +252,5 @@ def kmeans_model_selection_sweep(data, ks, key, n_init=10, n_trials=100,
             'n_iter': model.n_iter_,
             'elapsed': time.perf_counter() - start,
         }
-        _sweep_ckpt_save(checkpoint_dir, int(k), results[int(k)])
+        _sweep_ckpt_save(checkpoint_dir, int(k), results[int(k)], fp)
     return results

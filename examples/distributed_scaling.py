@@ -116,8 +116,11 @@ def main():
           f"{n_dev} devices): best cost={best['cost']:.3e} "
           f"[{time.perf_counter() - t0:.1f}s]")
 
-    # Resumable sweep with mesh-distributed gap trials.
-    ckpt = "/tmp/distributed_scaling_sweep"
+    # Resumable sweep with mesh-distributed gap trials (fresh temp dir
+    # per run; stale checkpoints from another config are also rejected
+    # by the stored fingerprint).
+    import tempfile
+    ckpt = tempfile.mkdtemp(prefix="distributed_scaling_sweep_")
     sweep = kmeans_model_selection_sweep(
         X, ks=[2, 3], key=jax.random.PRNGKey(1), n_init=2 * r_axis,
         n_trials=2 * r_axis, mesh=mesh2d, checkpoint_dir=ckpt)

@@ -159,6 +159,15 @@ def test_sweep_checkpoint_resume(tmp_path):
                        rtol=1e-10)
     assert resumed[4]['n_iter'] == fresh[4]['n_iter']
 
+    # A changed configuration must NOT reuse the checkpoints: the
+    # stored fingerprint mismatches, a warning fires, and the point
+    # recomputes under the new settings.
+    with pytest.warns(UserWarning, match="different sweep"):
+        changed = aa_model_selection_sweep(
+            X, ks=[2], checkpoint_dir=ckpt, key=jax.random.PRNGKey(3),
+            n_init=2, tolerance=1e-8, max_iterations=100)
+    assert changed[2]['costs'].shape == (2,)  # recomputed, not loaded
+
 
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     from convex_dim_red_tpu import KernelAA
