@@ -40,8 +40,7 @@ from ..models._common import (QPSolverConfig, SPGSolverConfig, make_config,
 from ..models.archetypal_analysis import (_cost_from_parts,
                                           _spg_cfg_to_quad_kwargs)
 from ..ops.simplex_projection import simplex_project_rows
-from ..solvers.spg import (quad_spg, quad_simplex_spg_batch,
-                           quad_simplex_spg_batch_grouped)
+from ..solvers.spg import quad_spg, quad_simplex_spg_batch_grouped
 from ..utils.precision import apply_matmul_precision
 
 __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
@@ -161,28 +160,6 @@ def _aa_iter_cost(X_loc, Z_loc, C, alpha, CK, CKCt, trace_K, sample_axis):
     CKZ = jax.lax.psum(cols(CK) @ Z_loc, sample_axis)
     ZtZ_new = jax.lax.psum(Z_loc.T @ Z_loc, sample_axis)
     return _cost_from_parts(trace_K, CKZ, ZtZ_new, CKCt, alpha, n_samples)
-
-
-def _aa_local_iterate(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
-                      dict_kwargs, weights_kwargs, scale_kwargs,
-                      sample_axis, trace_K=None):
-    """One AA alternating iteration on a sample-sharded state.
-
-    ``X_loc``/``K_loc``/``Z_loc`` hold this shard's sample rows; ``C``
-    and ``alpha`` are replicated within the sample group.  For
-    kernel-only input (no data matrix), pass ``X_loc=None`` and the
-    replicated ``trace_K``: the cost uses the kernel trace form
-    (models/archetypal_analysis.kernel_aa_cost) instead of the explicit
-    residual.
-    """
-    C, alpha, A, B_w, CK, CKCt = _aa_pre_weights(
-        X_loc, K_loc, Z_loc, C, alpha, delta=delta, do_scale=do_scale,
-        dict_kwargs=dict_kwargs, scale_kwargs=scale_kwargs,
-        sample_axis=sample_axis)
-    Z_loc = quad_simplex_spg_batch(A, B_w, Z_loc, **weights_kwargs)
-    cost = _aa_iter_cost(X_loc, Z_loc, C, alpha, CK, CKCt, trace_K,
-                         sample_axis)
-    return Z_loc, C, alpha, cost
 
 
 def _aa_iterate_batch(X_loc, K_loc, *, delta, do_scale, dict_kwargs,
@@ -323,6 +300,7 @@ def _select_best(states, costs, trace, n_iters, *, n_valid, restart_axis):
 def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
                           do_scale=False,
                           dict_iterations=5, weights_iterations=50,
+                          weights_backend='xla',
                           restart_axis="restarts", sample_axis="samples"):
     """One full AA alternating iteration over a 2-D mesh.
 
@@ -334,9 +312,10 @@ def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
               within a sample group.
       alphas: (n_restarts, k); updated when ``do_scale`` (box [1±delta]).
 
-    Returns updated ``(Zs, Cs, alphas, costs)`` with the same shardings
-    (``costs``: per-restart objective).  Jit-compatible; call under
-    ``jax.jit`` for real runs.
+    ``weights_backend='pallas'`` runs the restart-batched weight QPs in
+    one fused grouped kernel.  Returns updated ``(Zs, Cs, alphas,
+    costs)`` with the same shardings (``costs``: per-restart
+    objective).  Jit-compatible; call under ``jax.jit`` for real runs.
     """
     dict_kwargs = _spg_cfg_to_quad_kwargs(
         SPGSolverConfig(max_iterations=dict_iterations))
@@ -359,14 +338,12 @@ def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
         X_full = jax.lax.all_gather(X_loc, sample_axis, tiled=True)
         K_loc = X_loc @ X_full.T
 
-        def per_restart(Z_loc, C, alpha):
-            return _aa_local_iterate(
-                X_loc, K_loc, Z_loc, C, alpha, delta=delta,
-                do_scale=do_scale, dict_kwargs=dict_kwargs,
-                weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
-                sample_axis=sample_axis)
-
-        return jax.vmap(per_restart)(Zs_loc, Cs_loc, alphas_loc)
+        iterate_batch = _aa_iterate_batch(
+            X_loc, K_loc, delta=delta, do_scale=do_scale,
+            dict_kwargs=dict_kwargs, weights_backend=weights_backend,
+            weights_kwargs=weights_kwargs, scale_kwargs=scale_kwargs,
+            sample_axis=sample_axis)
+        return iterate_batch(Zs_loc, Cs_loc, alphas_loc)
 
     return step(X, Zs, Cs, alphas)
 

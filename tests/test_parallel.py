@@ -605,15 +605,26 @@ def test_sharded_fits_pallas_weights_match_xla(monkeypatch):
     weights QPs through the grouped fused kernel (interpret mode here)
     and converges to the same optimum as the XLA backend."""
     import convex_dim_red_tpu.parallel.sharded_aa as sa
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_grouped)
     from convex_dim_red_tpu.solvers.spg import (
-        quad_simplex_spg_batch_grouped)
+        _pallas_qp_kwargs, quad_simplex_spg_batch_grouped)
 
     backends_seen = []
 
     def grouped_interpret(As, Bs, X0s, backend='xla', mask=None, **kw):
         backends_seen.append(backend)
         if backend == 'pallas':
-            kw = dict(kw, interpret=True)  # no TPU in the test mesh
+            # Interpret mode on the CPU mesh; use the UNPACKED grouped
+            # kernel — the packed variant's segment rolls are so slow
+            # in interpret mode on this 1-core host that one virtual
+            # device exceeds XLA-CPU's 40 s collective-rendezvous
+            # timeout while its sample group waits at the next psum
+            # (SIGABRT).  Packed-kernel correctness is covered by
+            # test_pallas_qp; this test checks the sharded-fit wiring.
+            return quad_simplex_qp_pallas_grouped(
+                As, Bs, X0s, mask=mask, interpret=True,
+                **_pallas_qp_kwargs(kw))
         return quad_simplex_spg_batch_grouped(As, Bs, X0s,
                                               backend=backend,
                                               mask=mask, **kw)
