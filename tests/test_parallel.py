@@ -710,3 +710,59 @@ def test_sharded_kernel_aa_fit_matches_data_space():
         max_iterations=50)
     a = np.asarray(res_s['alpha'])
     assert (a >= 0.9 - 1e-12).all() and (a <= 1.1 + 1e-12).all()
+
+
+def test_sharded_train_step_pallas_backend_matches_xla(monkeypatch):
+    """weights_backend='pallas' on sharded_aa_train_step routes the
+    restart-batched weight QPs through the grouped fused kernel and
+    reproduces the XLA backend's step (unique QP optima => same
+    result)."""
+    import convex_dim_red_tpu.parallel.sharded_aa as sa
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_grouped)
+    from convex_dim_red_tpu.solvers.spg import (
+        _pallas_qp_kwargs, quad_simplex_spg_batch_grouped)
+
+    backends_seen = []
+
+    def grouped_interpret(As, Bs, X0s, backend='xla', mask=None, **kw):
+        backends_seen.append(backend)
+        if backend == 'pallas':
+            # Unpacked grouped kernel in interpret mode (see
+            # test_sharded_fits_pallas_weights_match_xla for why the
+            # packed variant cannot run on the 1-core CPU mesh).
+            return quad_simplex_qp_pallas_grouped(
+                As, Bs, X0s, mask=mask, interpret=True,
+                **_pallas_qp_kwargs(kw))
+        return quad_simplex_spg_batch_grouped(As, Bs, X0s,
+                                              backend=backend,
+                                              mask=mask, **kw)
+
+    monkeypatch.setattr(sa, 'quad_simplex_spg_batch_grouped',
+                        grouped_interpret)
+
+    rng = np.random.RandomState(17)
+    n, k, R = 16, 2, 4
+    X, _ = _planted(rng, n_samples=n, n_components=k, n_features=5)
+    Zs = rng.uniform(size=(R, n, k))
+    Zs /= Zs.sum(axis=2, keepdims=True)
+    Cs = rng.uniform(size=(R, k, n))
+    Cs /= Cs.sum(axis=2, keepdims=True)
+    alphas = np.ones((R, k))
+    mesh = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+
+    args = (jnp.asarray(X), jnp.asarray(Zs), jnp.asarray(Cs),
+            jnp.asarray(alphas))
+    kw = dict(dict_iterations=3, weights_iterations=200)
+    Zp, Cp, ap, costs_p = sa.sharded_aa_train_step(
+        mesh, *args, weights_backend='pallas', **kw)
+    Zx, Cx, ax, costs_x = sa.sharded_aa_train_step(mesh, *args, **kw)
+
+    assert 'pallas' in backends_seen
+    # Same scale/dictionary math; the weight QPs are strictly convex,
+    # so both inner solvers land on the same unique optimum.
+    assert np.allclose(np.asarray(Cp), np.asarray(Cx), atol=1e-10)
+    assert np.allclose(np.asarray(Zp), np.asarray(Zx), atol=1e-6)
+    assert np.allclose(np.asarray(costs_p), np.asarray(costs_x),
+                       atol=1e-8)
+    assert np.allclose(np.asarray(Zp).sum(axis=2), 1.0, atol=1e-8)
