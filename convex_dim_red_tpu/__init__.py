@@ -29,7 +29,7 @@ from .ops.stochastic_matrices import (
 )
 from .parallel.restarts import aa_fit_restarts, gpnh_fit_restarts
 from .solvers.spg import (quad_simplex_spg, quad_simplex_spg_batch,
-                          quad_spg, spg)
+                          quad_spg, resolve_qp_backend, spg)
 
 __version__ = "0.1.0"
 
@@ -56,6 +56,7 @@ __all__ = [
     "quad_spg",
     "quad_simplex_spg",
     "quad_simplex_spg_batch",
+    "resolve_qp_backend",
     "aa_fit_restarts",
     "gpnh_fit_restarts",
 ]

@@ -22,10 +22,14 @@ __all__ = [
 class QPSolverConfig:
     """Parameters of the simplex-QP SPG solver (reference spg.py:286-291).
 
-    ``backend='pallas'`` routes batched solves to the fused TPU kernel
-    (ops/pallas_qp.py); 'xla' is the portable default.
+    ``backend``: 'pallas' routes batched solves to the fused TPU kernel
+    (ops/pallas_qp.py), 'xla' to the portable vmapped solver, and the
+    default 'auto' picks per call regime from measurement — 'pallas'
+    for cold one-shot batches (transforms) on TPU, 'xla' for the
+    warm-started QPs inside fit loops and on every other platform
+    (solvers/spg.py:resolve_qp_backend has the measured numbers).
     """
-    backend: str = 'xla'
+    backend: str = 'auto'
     gamma: float = 1e-4
     memory: int = 1
     sigma_one: float = 0.1

@@ -54,7 +54,8 @@ import numpy as np
 from ..ops.furthest_sum import furthest_sum, dissimilarities_from_kernel
 from ..ops.simplex_projection import simplex_project_rows
 from ..ops.stochastic_matrices import right_stochastic_matrix
-from ..solvers.spg import quad_spg, quad_simplex_spg_batch
+from ..solvers.spg import (quad_spg, quad_simplex_spg_batch,
+                           resolve_qp_backend)
 from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_stochastic_matrix
 from ._common import (QPSolverConfig, SPGSolverConfig, make_config,
@@ -320,9 +321,14 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
         if do_weights:
             # backend is excluded from kwargs() and must be re-threaded
             # explicitly or the Pallas routing silently degrades to XLA.
+            # 'auto' resolves here with fit-regime semantics: these QPs
+            # are warm-started every outer iteration (measured XLA-fast;
+            # see solvers.spg.resolve_qp_backend).
             Z = update_kernel_aa_weights(
                 Z, alpha, CK, CKCt, component_mask=component_mask,
-                backend=weights_cfg.backend, **weights_cfg.kwargs())
+                backend=resolve_qp_backend(weights_cfg.backend,
+                                           regime='fit'),
+                **weights_cfg.kwargs())
             ZtZ = Z.T @ Z
             KZ = K @ Z
             CKZ = C @ KZ

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..ops.furthest_sum import furthest_sum, dissimilarities_from_kernel
 from ..ops.stochastic_matrices import right_stochastic_matrix
-from ..solvers.spg import quad_simplex_spg_batch
+from ..solvers.spg import quad_simplex_spg_batch, resolve_qp_backend
 from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_unit_axis_sums
 from ._common import (QPSolverConfig, make_config, STOPPING_CRITERIA,
@@ -193,9 +193,13 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
 
         if do_weights:
             # backend excluded from kwargs(); re-thread it or the
-            # Pallas routing silently degrades to XLA.
+            # Pallas routing silently degrades to XLA.  'auto' resolves
+            # with fit-regime semantics (warm-started QPs; see
+            # solvers.spg.resolve_qp_backend).
             Z = update_gpnh_weights(X, Z, W,
-                                    backend=weights_cfg.backend,
+                                    backend=resolve_qp_backend(
+                                        weights_cfg.backend,
+                                        regime='fit'),
                                     **weights_cfg.kwargs())
             ZtZ = Z.T @ Z
             WtW = W.T @ W

@@ -40,7 +40,8 @@ from ..models._common import (QPSolverConfig, SPGSolverConfig, make_config,
 from ..models.archetypal_analysis import (_cost_from_parts,
                                           _spg_cfg_to_quad_kwargs)
 from ..ops.simplex_projection import simplex_project_rows
-from ..solvers.spg import quad_spg, quad_simplex_spg_batch_grouped
+from ..solvers.spg import (quad_spg, quad_simplex_spg_batch_grouped,
+                           resolve_qp_backend)
 from ..utils.precision import apply_matmul_precision
 
 __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
@@ -48,7 +49,7 @@ __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
 
 
 
-def _weights_backend_kwargs(weights_solver_kwargs):
+def _weights_backend_kwargs(weights_solver_kwargs, k=None):
     """Resolve the weights-QP backend + kwargs for the sharded paths.
 
     The restart-batched QP dispatches through
@@ -56,13 +57,17 @@ def _weights_backend_kwargs(weights_solver_kwargs):
     solver, 'pallas' runs all restarts in one fused grouped kernel
     (ops/pallas_qp.py:quad_simplex_qp_pallas_grouped — the
     single-Hessian kernel cannot nest under vmap, which is why round
-    2 rejected 'pallas' here)."""
+    2 rejected 'pallas' here).  'auto' resolves with sharded-fit
+    semantics: the grouped Pallas kernel measured 1.88x faster (and
+    better-converged) than XLA at protocol scale
+    (solvers.spg.resolve_qp_backend has the numbers)."""
     cfg = make_config(QPSolverConfig, weights_solver_kwargs)
-    if cfg.backend not in ('xla', 'pallas'):
+    if cfg.backend not in ('xla', 'pallas', 'auto'):
         raise ValueError(
-            "unknown weights-QP backend %r; use 'xla' or 'pallas'"
-            % (cfg.backend,))
-    return cfg.backend, cfg.kwargs()
+            "unknown weights-QP backend %r; use 'xla', 'pallas' or "
+            "'auto'" % (cfg.backend,))
+    backend = resolve_qp_backend(cfg.backend, k=k, regime='sharded_fit')
+    return backend, cfg.kwargs()
 
 
 @apply_matmul_precision
@@ -300,7 +305,7 @@ def _select_best(states, costs, trace, n_iters, *, n_valid, restart_axis):
 def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
                           do_scale=False,
                           dict_iterations=5, weights_iterations=50,
-                          weights_backend='xla',
+                          weights_backend='auto',
                           restart_axis="restarts", sample_axis="samples"):
     """One full AA alternating iteration over a 2-D mesh.
 
@@ -313,10 +318,14 @@ def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
       alphas: (n_restarts, k); updated when ``do_scale`` (box [1±delta]).
 
     ``weights_backend='pallas'`` runs the restart-batched weight QPs in
-    one fused grouped kernel.  Returns updated ``(Zs, Cs, alphas,
-    costs)`` with the same shardings (``costs``: per-restart
+    one fused grouped kernel; the default 'auto' picks it on TPU
+    (measured 1.88x at protocol scale — see
+    ``solvers.spg.resolve_qp_backend``).  Returns updated ``(Zs, Cs,
+    alphas, costs)`` with the same shardings (``costs``: per-restart
     objective).  Jit-compatible; call under ``jax.jit`` for real runs.
     """
+    weights_backend = resolve_qp_backend(
+        weights_backend, k=Zs.shape[-1], regime='sharded_fit')
     dict_kwargs = _spg_cfg_to_quad_kwargs(
         SPGSolverConfig(max_iterations=dict_iterations))
     weights_kwargs = QPSolverConfig(
@@ -380,7 +389,7 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
     dict_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, dictionary_solver_kwargs))
     weights_backend, weights_kwargs = _weights_backend_kwargs(
-        weights_solver_kwargs)
+        weights_solver_kwargs, k=Zs.shape[-1])
     scale_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, scale_factors_solver_kwargs))
 
@@ -467,7 +476,7 @@ def sharded_kernel_aa_fit(mesh, K, Zs, Cs, alphas, *, delta=0.0,
     dict_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, dictionary_solver_kwargs))
     weights_backend, weights_kwargs = _weights_backend_kwargs(
-        weights_solver_kwargs)
+        weights_solver_kwargs, k=Zs.shape[-1])
     scale_kwargs = _spg_cfg_to_quad_kwargs(
         make_config(SPGSolverConfig, scale_factors_solver_kwargs))
 
@@ -550,7 +559,7 @@ def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
     if n_valid_restarts is None:
         n_valid_restarts = n_restarts
     weights_backend, weights_kwargs = _weights_backend_kwargs(
-        weights_solver_kwargs)
+        weights_solver_kwargs, k=Zs.shape[-1])
 
     @functools.partial(
         shard_map, mesh=mesh,

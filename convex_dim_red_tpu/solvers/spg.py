@@ -52,9 +52,63 @@ __all__ = [
     "quad_simplex_spg",
     "quad_simplex_spg_batch",
     "quad_simplex_spg_batch_grouped",
+    "resolve_qp_backend",
     "line_search_step_length",
     "cauchy_step_size",
 ]
+
+#: Widest QP the fused Pallas kernels accept (one simplex per lane
+#: register; ops/pallas_qp.py:LANES).  Kept as a plain int so backend
+#: resolution does not import the Pallas module on non-TPU platforms.
+_PALLAS_MAX_K = 128
+
+
+def resolve_qp_backend(backend, k=None, regime="oneshot"):
+    """Resolve a ``backend='auto'`` weights-QP backend choice.
+
+    Measured grounding (benchmarks/fit_backend_ab.py +
+    benchmarks/qp_backend_sweep.py, TPU v5e, 2026-08-18): the two call
+    regimes want different backends.
+
+    - ``regime='oneshot'`` — a cold QP batch solved once (transform
+      paths, direct ``quad_simplex_spg_batch`` calls).  The fused
+      Pallas kernel wins 1.2-1.45x across every measured shape
+      (n=1,788-28,608 rows, k=6-20): the whole solve runs in one
+      VMEM-resident kernel instead of a multi-dispatch XLA while loop.
+      Resolves to ``'pallas'`` on TPU when ``k`` fits the kernel.
+    - ``regime='fit'`` — warm-started QPs inside a vmapped/single
+      alternating fit loop.  Fit-level A/B puts Pallas at
+      parity-to-worse (0.37-1.14x across the five case-study shapes):
+      warm starts converge in few SPG iterations, so the XLA path fuses
+      into the surrounding iteration program more cheaply than a kernel
+      launch per outer iteration.  Resolves to ``'xla'``.
+    - ``regime='sharded_fit'`` — the shard_map SPMD fits, whose QPs
+      dispatch through the GROUPED Pallas kernel (one kernel for every
+      restart's Hessian).  There Pallas wins decisively
+      (benchmarks/sharded_protocol_ab.py, protocol scale n=1788
+      x d=16384, k=6, R=25: 1.88x faster warm AND better final cost,
+      3811.1 vs 3817.8 — the fused solve runs each restart's rows to
+      its own fixed point instead of XLA's chunk-lockstep).  Resolves
+      like 'oneshot': ``'pallas'`` on TPU when ``k`` fits the kernel.
+
+    Non-'auto' values pass through untouched, so explicit choices (and
+    every existing config) keep their exact behavior.
+    """
+    if regime not in ("oneshot", "fit", "sharded_fit"):
+        raise ValueError("unknown QP dispatch regime %r" % (regime,))
+    if backend != "auto":
+        return backend
+    if regime == "fit":
+        return "xla"
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probing never fatal
+        platform = "cpu"
+    if platform != "tpu":
+        return "xla"
+    if k is not None and k > _PALLAS_MAX_K:
+        return "xla"
+    return "pallas"
 
 
 def line_search_step_length(lam, delta, f_old, f_new,
@@ -457,7 +511,12 @@ def quad_simplex_spg_batch(A, B, X0, backend="xla", mask=None,
     masked sub-simplex.  Both backends support it; on the Pallas path
     the mask is a runtime kernel input, so masked (bucketed) and plain
     solves of one shape share a single compiled program.
+
+    ``backend='auto'`` treats a direct call as a cold one-shot solve
+    (:func:`resolve_qp_backend`): 'pallas' on TPU, 'xla' elsewhere.
+    Fit loops resolve their own backend before dispatching here.
     """
+    backend = resolve_qp_backend(backend, k=jnp.shape(B)[1])
     if backend == "pallas":
         from ..ops.pallas_qp import (quad_simplex_qp_pallas,
                                      quad_simplex_qp_pallas_packed)
@@ -491,8 +550,10 @@ def quad_simplex_spg_batch_grouped(As, Bs, X0s, backend="xla", mask=None,
     ONE fused kernel (the group axis becomes a grid dimension,
     ops/pallas_qp.py:quad_simplex_qp_pallas_grouped) — the single-
     Hessian pallas kernel cannot nest under ``vmap``.  ``mask`` is
-    shared across groups.
+    shared across groups.  ``backend='auto'`` resolves as a cold
+    one-shot solve (:func:`resolve_qp_backend`).
     """
+    backend = resolve_qp_backend(backend, k=jnp.shape(X0s)[2])
     if backend == "pallas":
         from ..ops.pallas_qp import (quad_simplex_qp_pallas_grouped,
                                      quad_simplex_qp_pallas_packed_grouped)
