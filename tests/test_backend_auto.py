@@ -48,6 +48,15 @@ def test_qp_config_defaults_to_auto():
     assert QPSolverConfig().backend == "auto"
 
 
+def test_pallas_width_limit_matches_kernel():
+    # _PALLAS_MAX_K is a plain int so resolution never imports the
+    # Pallas module off-TPU; pin it to the kernel's real lane width so
+    # the two cannot drift apart.
+    from convex_dim_red_tpu.ops import pallas_qp
+    from convex_dim_red_tpu.solvers.spg import _PALLAS_MAX_K
+    assert _PALLAS_MAX_K == pallas_qp.LANES
+
+
 def test_sharded_paths_resolve_auto(monkeypatch):
     # Off-TPU: 'auto' falls back to the portable XLA path.
     backend, _ = _weights_backend_kwargs({"backend": "auto"}, k=6)
