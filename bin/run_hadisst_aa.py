@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Thin shim for the hadisst_aa case-study driver
 (mirrors reference bin/run_hadisst_aa.py)."""
+import os
 import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..'))
+
 from convex_dim_red_tpu.cli.drivers import hadisst_aa_main
 
 if __name__ == '__main__':
