@@ -227,3 +227,23 @@ def test_enable_compilation_cache_configures_and_restores(tmp_path):
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           prev_min)
+
+
+def test_profiler_trace_writes_trace_files(tmp_path):
+    """utils/profiling.trace must actually capture a device trace: the
+    reference's observability contract is wall-clock bracketing of every
+    iteration (SURVEY §5); the TPU framework's kernel-level analog is a
+    jax.profiler trace, so assert the xplane/trace artifacts land in the
+    requested directory rather than trusting the context manager."""
+    import os
+    import jax.numpy as jnp
+    from convex_dim_red_tpu.utils.profiling import trace
+
+    log_dir = str(tmp_path / "jax_trace")
+    with trace(log_dir):
+        jax.block_until_ready(jnp.ones((16, 16)) @ jnp.ones((16, 16)))
+
+    produced = []
+    for root, _, files in os.walk(log_dir):
+        produced.extend(files)
+    assert any(name.endswith(".xplane.pb") for name in produced), produced

@@ -766,3 +766,55 @@ def test_sharded_train_step_pallas_backend_matches_xla(monkeypatch):
     assert np.allclose(np.asarray(costs_p), np.asarray(costs_x),
                        atol=1e-8)
     assert np.allclose(np.asarray(Zp).sum(axis=2), 1.0, atol=1e-8)
+
+
+def test_hybrid_mesh_groups_slices_on_restart_axis():
+    """create_hybrid_mesh must put slice groups on the restart (DCN)
+    axis and intra-slice devices on the sample (ICI) axis, so the
+    per-iteration psum/all_gather collectives never cross DCN."""
+    from convex_dim_red_tpu.parallel.mesh import create_hybrid_mesh
+
+    devices = jax.devices()
+    groups = [devices[:4], devices[4:]]
+    mesh = create_hybrid_mesh(slice_groups=groups)
+    assert mesh.axis_names == ("restarts", "samples")
+    assert mesh.devices.shape == (2, 4)
+    for s, group in enumerate(groups):
+        assert list(mesh.devices[s]) == list(group)
+
+    # Ragged slices cannot form a rectangular mesh.
+    with pytest.raises(ValueError):
+        create_hybrid_mesh(slice_groups=[devices[:3], devices[3:]])
+
+    # Hosts without slice indices degrade to a single-slice (1, n)
+    # mesh: all parallelism on ICI.
+    single = create_hybrid_mesh(devices=devices)
+    assert single.devices.shape == (1, 8)
+
+
+def test_sharded_aa_fit_on_hybrid_mesh_matches_flat_mesh():
+    """The SPMD fit must be numerically invariant to whether its mesh
+    came from create_mesh or the multi-slice-aware constructor."""
+    from convex_dim_red_tpu.parallel.mesh import create_hybrid_mesh
+    from convex_dim_red_tpu.parallel.sharded_aa import sharded_aa_fit
+
+    rng = np.random.RandomState(11)
+    n, k, R = 32, 3, 4
+    X, _ = _planted(rng, n_samples=n, n_components=k, n_features=6)
+    Zs, Cs = _random_aa_state(rng, R, n, k)
+    alphas = np.ones((R, k))
+
+    devices = jax.devices()
+    hybrid = create_hybrid_mesh(slice_groups=[devices[:4], devices[4:]])
+    flat = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+
+    kwargs = dict(tolerance=1e-10, max_iterations=40,
+                  stopping_criterion='abs_delta_f')
+    res_h = sharded_aa_fit(hybrid, jnp.asarray(X), jnp.asarray(Zs),
+                           jnp.asarray(Cs), jnp.asarray(alphas), **kwargs)
+    res_f = sharded_aa_fit(flat, jnp.asarray(X), jnp.asarray(Zs),
+                           jnp.asarray(Cs), jnp.asarray(alphas), **kwargs)
+    assert np.allclose(np.asarray(res_h['costs']),
+                       np.asarray(res_f['costs']), rtol=1e-10, atol=1e-12)
+    assert np.array_equal(np.asarray(res_h['n_iters']),
+                          np.asarray(res_f['n_iters']))
