@@ -199,6 +199,10 @@ def _aa_transform(archetypes, data, key, weights_cfg, max_iterations):
     Z0 = m / jnp.sum(m, axis=1, keepdims=True)
 
     cfg = weights_cfg.kwargs()
+    # kwargs() excludes backend; re-thread it or the configured (or
+    # 'auto'-resolved oneshot Pallas) routing silently degrades to the
+    # XLA default — same pattern as ArchetypalAnalysis.transform.
+    cfg['backend'] = weights_cfg.backend
     cfg['max_iterations'] = int(max_iterations)
     Z = quad_simplex_spg_batch(A, B, Z0, **cfg)
     resid = data - Z @ archetypes
@@ -221,7 +225,6 @@ def aa_analysis(training_data, validation_data, *, n_components, delta,
     if cross_validate:
         from sklearn.model_selection import TimeSeriesSplit
         tscv = TimeSeriesSplit(n_splits=n_folds)
-        cv_train_costs, cv_train_rmses = [], []
         cv_test_costs, cv_test_rmses = [], []
         for train, test in tscv.split(training_data):
             key, k_fit, k_tr = jax.random.split(key, 3)
@@ -232,15 +235,18 @@ def aa_analysis(training_data, validation_data, *, n_components, delta,
                 stopping_criterion=stopping_criterion,
                 dictionary_solver_kwargs=dictionary_solver_kwargs,
                 weights_solver_kwargs=weights_solver_kwargs)
-            recon = np.asarray(fold['weights'] @ fold['archetypes'])
-            cv_train_costs.append(fold['cost'])
-            cv_train_rmses.append(rmse(training_data[train], recon))
             Zt, ct = _aa_transform(fold['archetypes'],
                                    training_data[test], k_tr, weights_cfg,
                                    max_iterations)
             cv_test_costs.append(ct)
             cv_test_rmses.append(
                 rmse(training_data[test], Zt @ fold['archetypes']))
+        # DELIBERATE reference quirk: the held-out-fold (test) statistics
+        # are recorded under the 'training_set_*' attr names, exactly as
+        # the reference writes them (run_hadisst_aa.py:299-302; its
+        # per-fold TRAIN stats at :232 are computed but never written, so
+        # they are omitted here entirely).  Downstream notebooks read
+        # these names; renaming would break attr-schema parity.
         attrs.update({
             'training_set_cost': '{:16.8e}'.format(np.mean(cv_test_costs)),
             'training_set_cost_std': '{:16.8e}'.format(np.std(cv_test_costs)),

@@ -420,3 +420,69 @@ def test_pca_product_carries_eofs_period_attrs(synthetic_jra55, tmp_path):
                      ["--n-components", "3", "--random-seed", "0"])
     assert ds.attrs['eofs_start_year'] == '1958'
     assert ds.attrs['eofs_end_year'] == '1972'
+
+
+# ---------------------------------------------------------------------------
+# Driver-side transform backend threading + AA cross-validation branch
+# ---------------------------------------------------------------------------
+
+
+def test_aa_transform_threads_configured_backend(monkeypatch):
+    """The driver/CV transform must dispatch the CONFIGURED weights-QP
+    backend (default 'auto' -> oneshot resolution inside
+    quad_simplex_spg_batch), not silently fall back to the 'xla'
+    call-site default — the regression this pins: QPSolverConfig.kwargs()
+    excludes ``backend`` (reference transform protocol:
+    archetypal_analysis.py:1151-1199)."""
+    import jax
+    from convex_dim_red_tpu.cli import common as cli_common
+    from convex_dim_red_tpu.models._common import (QPSolverConfig,
+                                                   make_config)
+
+    captured = {}
+    real = cli_common.quad_simplex_spg_batch
+
+    def spy(A, B, X0, backend="xla", **kw):
+        captured['backend'] = backend
+        return real(A, B, X0, backend='xla', **kw)
+
+    monkeypatch.setattr(cli_common, 'quad_simplex_spg_batch', spy)
+
+    rng = np.random.RandomState(0)
+    arch = rng.uniform(size=(3, 6))
+    data = rng.uniform(size=(10, 6))
+
+    cfg = make_config(QPSolverConfig, None)  # library default: 'auto'
+    Z, cost = cli_common._aa_transform(arch, data, jax.random.PRNGKey(0),
+                                       cfg, max_iterations=50)
+    assert captured['backend'] == cfg.backend == 'auto'
+    assert np.allclose(np.asarray(Z).sum(axis=1), 1.0, atol=1e-10)
+
+    captured.clear()
+    cli_common._aa_transform(arch, data, jax.random.PRNGKey(0),
+                             make_config(QPSolverConfig,
+                                         {'backend': 'xla'}),
+                             max_iterations=50)
+    assert captured['backend'] == 'xla'
+
+
+def test_aa_analysis_cross_validate_attrs():
+    """AA CV branch: held-out-fold stats recorded under the reference's
+    'training_set_*' attr names (deliberate quirk; see cli/common.py) and
+    the transform path exercised per fold."""
+    rng = np.random.RandomState(1)
+    basis = rng.uniform(size=(3, 8))
+    Z = rng.uniform(size=(40, 3))
+    Z /= Z.sum(axis=1, keepdims=True)
+    X = Z @ basis
+
+    from convex_dim_red_tpu.cli.common import aa_analysis
+    best, attrs = aa_analysis(
+        X, None, n_components=3, delta=0.0, init='random', n_init=2,
+        tolerance=1e-6, max_iterations=50, random_seed=0,
+        cross_validate=True, n_folds=3)
+    for attr in ('training_set_cost', 'training_set_cost_std',
+                 'training_set_rmse', 'training_set_rmse_std', 'n_folds'):
+        assert attr in attrs, attr
+    assert attrs['n_folds'] == '3'
+    assert np.isfinite(float(attrs['training_set_cost']))
