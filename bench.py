@@ -55,8 +55,9 @@ TOL = 1e-5
 MAX_ITER = 500
 CRITERION = 'rel_delta_f'
 DICT_MAX_ITERATIONS = 1   # reference HadISST protocol (run_hadisst_aa.py:165)
-BASELINE_CAP_ITERS = 3
-PROTOCOL = "hadisst_reference_protocol_v2_dict1"
+BASELINE_CAP_ITERS = 10
+BASELINE_RUNS = 2
+PROTOCOL = "hadisst_reference_protocol_v3_dict1_var"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
@@ -72,40 +73,69 @@ def make_data(dtype):
 
 
 def measure_baseline():
+    """Measure the NumPy-baseline Gram + per-outer-iteration time.
+
+    Protocol v3 (stronger than the v2 single 3-iteration run): ``BASELINE_RUNS``
+    independent restarts (distinct seeds), each capped at
+    ``BASELINE_CAP_ITERS`` outer iterations, with PER-ITERATION wall
+    times recorded so the reconstruction carries an error bar.  Must be
+    run on an idle host (1 core; concurrent load inflates the numbers).
+    """
     from benchmarks.numpy_baseline import aa_fit_numpy
     X = make_data(np.float64)
 
-    t0 = time.perf_counter()
-    K_gram = X @ X.T
-    gram_seconds = time.perf_counter() - t0
-    del K_gram
+    gram_times = []
+    for _ in range(BASELINE_RUNS):
+        t0 = time.perf_counter()
+        K_gram = X @ X.T
+        gram_times.append(time.perf_counter() - t0)
+        del K_gram
 
-    t0 = time.perf_counter()
-    Z, C, cost, n_iter = aa_fit_numpy(
-        X, K, np.random.RandomState(0), tolerance=TOL,
-        max_iterations=BASELINE_CAP_ITERS,
-        dict_iterations=DICT_MAX_ITERATIONS,
-        stopping_criterion=CRITERION)
-    capped_seconds = time.perf_counter() - t0
-    per_iter = (capped_seconds - gram_seconds) / max(n_iter, 1)
+    runs = []
+    all_iter_times = []
+    for seed in range(BASELINE_RUNS):
+        iter_times = []
+        t0 = time.perf_counter()
+        _, _, cost, n_iter = aa_fit_numpy(
+            X, K, np.random.RandomState(seed), tolerance=TOL,
+            max_iterations=BASELINE_CAP_ITERS,
+            dict_iterations=DICT_MAX_ITERATIONS,
+            stopping_criterion=CRITERION, iter_times=iter_times)
+        runs.append({
+            "seed": seed,
+            "capped_run_seconds": time.perf_counter() - t0,
+            "capped_iters": int(n_iter),
+            "cost_at_cap": float(cost),
+            "iter_times": [round(t, 3) for t in iter_times],
+            "per_iter_mean": float(np.mean(iter_times)),
+            "per_iter_std": float(np.std(iter_times)),
+        })
+        all_iter_times.extend(iter_times)
 
+    per_iter = float(np.mean(all_iter_times))
+    per_iter_std = float(np.std(all_iter_times))
     return {
         "protocol": PROTOCOL,
         "baseline": "vectorized numpy float64 "
                     "(benchmarks/numpy_baseline.py)",
         "method": ("gram_seconds + n_init * mean_outer_iters * "
-                   "per_iter_seconds; per-iteration time measured over a "
-                   "%d-iteration capped run (full convergence infeasible "
-                   "on the 1-core host: ~%.0f s/outer iteration)"
-                   % (BASELINE_CAP_ITERS, per_iter)),
+                   "per_iter_seconds; per-iteration time measured over "
+                   "%d independent runs x %d capped outer iterations "
+                   "(full convergence infeasible on the 1-core host: "
+                   "~%.0f s/outer iteration); per_iter_seconds_std is "
+                   "the pooled per-iteration std, per_iter_seconds_min "
+                   "the fastest observed iteration (conservative bound)"
+                   % (BASELINE_RUNS, BASELINE_CAP_ITERS, per_iter)),
         "workload": {"n_samples": N_SAMPLES, "n_features": N_FEATURES,
                      "k": K, "n_init": N_INIT, "tolerance": TOL,
                      "max_iterations": MAX_ITER,
                      "dict_max_iterations": DICT_MAX_ITERATIONS},
-        "gram_seconds": gram_seconds,
+        "gram_seconds": float(np.mean(gram_times)),
+        "gram_seconds_all": gram_times,
         "per_iter_seconds": per_iter,
-        "capped_run_seconds": capped_seconds,
-        "capped_iters": int(n_iter),
+        "per_iter_seconds_std": per_iter_std,
+        "per_iter_seconds_min": float(np.min(all_iter_times)),
+        "runs": runs,
         "host_cpus": os.cpu_count(),
     }
 
@@ -238,6 +268,21 @@ def main():
     baseline_seconds = (baseline["gram_seconds"]
                         + N_INIT * mean_iters
                         * baseline["per_iter_seconds"])
+    # Error bar on the reconstruction (protocol v3: pooled per-iteration
+    # std over >=2 independent capped runs) and a conservative bound
+    # (fastest observed baseline iteration).
+    per_iter_std = baseline.get("per_iter_seconds_std")
+    baseline_seconds_lo = baseline_seconds_hi = baseline_conservative = None
+    if per_iter_std is not None:
+        n_meas = sum(len(r["iter_times"]) for r in baseline.get("runs", []))
+        sem = per_iter_std / max(np.sqrt(n_meas), 1.0)
+        baseline_seconds_lo = (baseline["gram_seconds"] + N_INIT * mean_iters
+                               * (baseline["per_iter_seconds"] - 2 * sem))
+        baseline_seconds_hi = (baseline["gram_seconds"] + N_INIT * mean_iters
+                               * (baseline["per_iter_seconds"] + 2 * sem))
+        baseline_conservative = (baseline["gram_seconds"]
+                                 + N_INIT * mean_iters
+                                 * baseline["per_iter_seconds_min"])
 
     # Structural FLOP accounting (benchmarks/flops.py): total restart
     # iterations actually executed on device.  Lockstep vmapped loops
@@ -266,6 +311,15 @@ def main():
             "compile_plus_first_run_s": round(compile_and_run, 2),
             "baseline_seconds_reconstructed": round(baseline_seconds, 2),
             "baseline_per_iter_s": round(baseline["per_iter_seconds"], 3),
+            "baseline_per_iter_s_std": (
+                round(per_iter_std, 3) if per_iter_std is not None else None),
+            "vs_baseline_ci95": (
+                [round(baseline_seconds_lo / elapsed, 2),
+                 round(baseline_seconds_hi / elapsed, 2)]
+                if baseline_seconds_lo is not None else None),
+            "vs_baseline_conservative": (
+                round(baseline_conservative / elapsed, 2)
+                if baseline_conservative is not None else None),
             "alternating_update_gflops_per_s": round(gflops_per_s, 1),
             "restart_iterations_per_second": round(total_iters / elapsed, 1),
             "screened_seconds": round(screened_elapsed, 4),

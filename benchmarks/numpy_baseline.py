@@ -94,8 +94,16 @@ def _dictionary_spg(K, C, KZD, DZtZD, n, max_iterations=10):
 
 def aa_fit_numpy(X, n_components, rng, tolerance=1e-4, max_iterations=500,
                  dict_iterations=10, weights_iterations=1000,
-                 stopping_criterion='abs_delta_f', init='random'):
-    """One archetypal-analysis fit in NumPy float64."""
+                 stopping_criterion='abs_delta_f', init='random',
+                 iter_times=None):
+    """One archetypal-analysis fit in NumPy float64.
+
+    ``iter_times``: optional list; when given, the wall-clock seconds of
+    each outer iteration are appended to it (baseline-measurement hook,
+    mirrors the reference's per-iteration ``iter_times`` bookkeeping,
+    reference archetypal_analysis.py:515-518).
+    """
+    import time as _time
     X = np.asarray(X, dtype=np.float64)
     n = X.shape[0]
     K = X @ X.T
@@ -108,6 +116,7 @@ def aa_fit_numpy(X, n_components, rng, tolerance=1e-4, max_iterations=500,
 
     n_iter = 0
     for n_iter in range(1, max_iterations + 1):
+        t_iter = _time.perf_counter()
         old_cost = new_cost
 
         ZtZ = Z.T @ Z
@@ -126,6 +135,8 @@ def aa_fit_numpy(X, n_components, rng, tolerance=1e-4, max_iterations=500,
         delta = abs(new_cost - old_cost)
         if stopping_criterion == 'rel_delta_f':
             delta = delta / max(abs(new_cost), abs(old_cost))
+        if iter_times is not None:
+            iter_times.append(_time.perf_counter() - t_iter)
         if delta < tolerance:
             break
 

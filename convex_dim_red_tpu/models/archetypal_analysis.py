@@ -216,12 +216,12 @@ def update_kernel_aa_scale_factors(alpha, trace_K, CKZ, ZtZ, CKCt, delta,
     jax.jit,
     static_argnames=('do_scale', 'do_dict', 'do_weights', 'criterion',
                      'max_iterations', 'require_monotonic', 'has_data',
-                     'dict_cfg', 'weights_cfg', 'scale_cfg', 'verbose'))
+                     'dict_cfg', 'weights_cfg', 'scale_cfg'))
 def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
                     component_mask=None, *,
                     do_scale, do_dict, do_weights, criterion,
                     max_iterations, require_monotonic, has_data,
-                    dict_cfg, weights_cfg, scale_cfg, verbose):
+                    dict_cfg, weights_cfg, scale_cfg):
     """Whole alternating fit as one on-device while loop.
 
     ``component_mask`` (optional (k,) bool, a runtime value) runs a
@@ -338,17 +338,6 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
 
         cost_trace = cost_trace.at[n_iter].set(new_cost - old_cost)
 
-        if verbose:
-            # Reference-style iteration table row
-            # (archetypal_analysis.py:520-522); per-iteration wall time
-            # is not observable inside the compiled loop.  Gated off on
-            # backends without host-callback support (utils/compat.py).
-            from ..utils.compat import host_callbacks_supported
-            if host_callbacks_supported():
-                jax.debug.print(
-                    "{i} | {c} | {d}",
-                    i=n_iter + 1, c=new_cost, d=new_cost - old_cost)
-
         stop = has_converged(old_cost, new_cost, tolerance, criterion)
         if require_monotonic:
             stop = stop | jnp.any(inc_flags)
@@ -363,10 +352,20 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
      old_cost, new_cost, n_iter, stop, cost_trace, inc_flags) = (
         jax.lax.while_loop(cond, body, init))
 
-    return Z, C, alpha, new_cost, n_iter, cost_trace, inc_flags
+    # ``stop`` distinguishes "criterion (or watchdog) fired" from "hit
+    # the iteration cap" — the chunked verbose driver needs it to
+    # resume across chunk boundaries without a spurious extra step.
+    return Z, C, alpha, new_cost, n_iter, cost_trace, inc_flags, stop
 
 
 _STAGE_NAMES = ('scale factors', 'dictionary', 'weights')
+
+#: Iterations per bounded device execution in the chunked verbose
+#: table (see ``iterate_kernel_aa``): small enough that rows stream out
+#: at interactive latency and the chunk wall time is a meaningful
+#: per-iteration estimate, large enough that per-dispatch overhead
+#: (~40 ms through the axon relay) stays amortized.
+_VERBOSE_CHUNK = 10
 
 
 def iterate_kernel_aa(K, weights, dictionary, alpha, delta=0,
@@ -403,37 +402,85 @@ def iterate_kernel_aa(K, weights, dictionary, alpha, delta=0,
     C = jnp.asarray(dictionary)
     alpha = jnp.asarray(alpha, dtype=K.dtype)
 
-    if verbose:
-        print("*** Kernel AA: n_components = {:d} ***".format(Z.shape[1]))
-        print('{:<12s} | {:<13s} | {:<13s}'.format(
-            'Iteration', 'Cost', 'Cost delta'))
-        print(80 * '-')
-
     do_scale = bool(update_scale_factors) and float(delta) != 0.0
     has_data = data is not None
     X = jnp.asarray(data) if has_data else jnp.zeros((), dtype=K.dtype)
 
-    start = time.perf_counter()
-    Z, C, alpha, cost, n_iter, cost_trace, inc_flags = _kernel_aa_core(
-        K, Z, C, alpha,
-        jnp.asarray(delta, dtype=K.dtype), tolerance, X,
+    core = functools.partial(
+        _kernel_aa_core,
         do_scale=do_scale, do_dict=bool(update_dictionary),
         do_weights=bool(update_weights), criterion=criterion,
-        max_iterations=int(max_iterations),
         require_monotonic=require_monotonic, has_data=has_data,
-        dict_cfg=dict_cfg, weights_cfg=weights_cfg, scale_cfg=scale_cfg,
-        verbose=bool(verbose))
-    cost = jax.block_until_ready(cost)
+        dict_cfg=dict_cfg, weights_cfg=weights_cfg, scale_cfg=scale_cfg)
+    delta_op = jnp.asarray(delta, dtype=K.dtype)
+
+    start = time.perf_counter()
+    if verbose:
+        # Reference-format iteration table (archetypal_analysis.py:
+        # 442-447, :515-522) WITHOUT host callbacks, so it renders on
+        # the axon TPU backend too: the fit runs in bounded chunks of
+        # iterations, each chunk's (cost, delta) rows are reconstructed
+        # from the carried cost trace, and the time column is the
+        # chunk's measured wall time amortized per iteration (the
+        # compiled loop has no clock).  Chunking is state-resuming and
+        # trajectory-identical: each chunk continues from the exact
+        # (Z, C, alpha) state, and the carried ``stop`` flag
+        # distinguishes convergence from the chunk cap.
+        print("*** Kernel AA: n_components = {:d} ***".format(Z.shape[1]))
+        print('{:<12s} | {:<13s} | {:<13s} | {:<12s}'.format(
+            'Iteration', 'Cost', 'Cost delta', 'Time'))
+        print(80 * '-')
+        row = '{:12d} | {: 12.6e} | {: 12.6e} | {: 12.6e}'
+
+        chunk = int(min(_VERBOSE_CHUNK, max_iterations))
+        n_iter = 0
+        stop = False
+        deltas_parts = []
+        inc_any = np.zeros(3, dtype=bool)
+        cost = None
+        while not stop and n_iter < int(max_iterations):
+            this_chunk = min(chunk, int(max_iterations) - n_iter)
+            t0 = time.perf_counter()
+            Z, C, alpha, cost, n_it, trace, inc_flags, stop = core(
+                K, Z, C, alpha, delta_op, tolerance, X,
+                max_iterations=this_chunk)
+            cost = jax.block_until_ready(cost)
+            dt = time.perf_counter() - t0
+            n_it = int(n_it)
+            if n_it == 0:
+                break
+            deltas = np.asarray(trace)[:n_it]
+            # cost after in-chunk iteration i: final chunk cost minus
+            # the deltas still to come.
+            suffix = np.cumsum(deltas[::-1])[::-1]
+            costs = float(cost) - suffix + deltas
+            for i in range(n_it):
+                print(row.format(n_iter + i + 1, costs[i], deltas[i],
+                                 dt / n_it))
+            deltas_parts.append(deltas)
+            inc_any |= np.asarray(inc_flags)
+            n_iter += n_it
+            stop = bool(stop)
+        inc_flags = inc_any
+        cost_deltas = (np.concatenate(deltas_parts) if deltas_parts
+                       else np.zeros((0,)))
+        if stop and not inc_flags.any():
+            print('*** Converged at iteration {:d} ***'.format(n_iter))
+    else:
+        Z, C, alpha, cost, n_iter, cost_trace, inc_flags, _ = core(
+            K, Z, C, alpha, delta_op, tolerance, X,
+            max_iterations=int(max_iterations))
+        cost = jax.block_until_ready(cost)
+        n_iter = int(n_iter)
+        inc_flags = np.asarray(inc_flags)
+        cost_deltas = np.asarray(cost_trace)[:n_iter]
     elapsed = time.perf_counter() - start
 
-    n_iter = int(n_iter)
-    inc_flags = np.asarray(inc_flags)
     if require_monotonic and inc_flags.any():
         stage = _STAGE_NAMES[int(np.argmax(inc_flags))]
         raise RuntimeError(
             'factorization cost increased after {} update'.format(stage))
 
-    cost_deltas = np.asarray(cost_trace)[:n_iter]
     avg_time = elapsed / max(n_iter, 1)
 
     return Z, C, alpha, cost, n_iter, avg_time, cost_deltas

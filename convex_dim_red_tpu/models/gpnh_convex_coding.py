@@ -36,7 +36,8 @@ from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_unit_axis_sums
 from ._common import (QPSolverConfig, make_config, STOPPING_CRITERIA,
                       has_converged, prepare_estimator_mesh)
-from .archetypal_analysis import _as_key, _scalar_dtype
+from .archetypal_analysis import (_as_key, _scalar_dtype,
+                                  _VERBOSE_CHUNK)
 
 __all__ = [
     "GPNHConvexCoding",
@@ -138,10 +139,10 @@ def update_gpnh_weights(X, weights, dictionary, **solver_kwargs):
 @functools.partial(
     jax.jit,
     static_argnames=('do_dict', 'do_weights', 'criterion', 'max_iterations',
-                     'require_monotonic', 'weights_cfg', 'verbose'))
+                     'require_monotonic', 'weights_cfg'))
 def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
                do_dict, do_weights, criterion, max_iterations,
-               require_monotonic, weights_cfg, verbose):
+               require_monotonic, weights_cfg):
     n_samples, n_features = X.shape
     n_components = W.shape[1]
     sdt = _scalar_dtype(X.dtype)
@@ -210,13 +211,6 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
 
         trace = trace.at[n_iter].set(new_cost - old_cost)
 
-        if verbose:
-            from ..utils.compat import host_callbacks_supported
-            if host_callbacks_supported():
-                jax.debug.print("{i} | {c} | {d}",
-                                i=n_iter + 1, c=new_cost,
-                                d=new_cost - old_cost)
-
         stop = has_converged(old_cost, new_cost, tolerance, criterion)
         if require_monotonic:
             stop = stop | jnp.any(inc)
@@ -228,7 +222,9 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
     Z, W, ZtZ, old_cost, new_cost, n_iter, stop, cost_trace, inc_flags = (
         jax.lax.while_loop(cond, body, init))
 
-    return Z, W, new_cost, n_iter, cost_trace, inc_flags
+    # ``stop`` lets the chunked verbose driver (iterate_gpnh_convex_
+    # coding) distinguish convergence from the chunk iteration cap.
+    return Z, W, new_cost, n_iter, cost_trace, inc_flags, stop
 
 
 _STAGE_NAMES = ('dictionary', 'weights')
@@ -259,31 +255,72 @@ def iterate_gpnh_convex_coding(X, weights, dictionary, lambda_W=0,
     Z = jnp.asarray(weights)
     W = jnp.asarray(dictionary)
 
-    if verbose:
-        print("*** GPNH convex coding: n_components = {:d} ***".format(
-            Z.shape[1]))
-        print('{:<12s} | {:<13s} | {:<13s}'.format(
-            'Iteration', 'Cost', 'Cost delta'))
-        print(100 * '-')
+    core = functools.partial(
+        _gpnh_core,
+        do_dict=bool(update_dictionary), do_weights=bool(update_weights),
+        criterion=criterion, require_monotonic=require_monotonic,
+        weights_cfg=weights_cfg)
+    lam_op = jnp.asarray(lambda_W, dtype=X.dtype)
 
     start = time.perf_counter()
-    Z, W, cost, n_iter, cost_trace, inc_flags = _gpnh_core(
-        X, Z, W, jnp.asarray(lambda_W, dtype=X.dtype), tolerance,
-        do_dict=bool(update_dictionary), do_weights=bool(update_weights),
-        criterion=criterion, max_iterations=int(max_iterations),
-        require_monotonic=require_monotonic, weights_cfg=weights_cfg,
-        verbose=bool(verbose))
-    cost = jax.block_until_ready(cost)
+    if verbose:
+        # Reference-format table (gpnh_convex_coding.py:334-337, :392)
+        # without host callbacks: chunked, state-resuming device
+        # executions with the time column amortized per chunk — same
+        # scheme as models.archetypal_analysis.iterate_kernel_aa.
+        print("*** GPNH convex coding: n_components = {:d} ***".format(
+            Z.shape[1]))
+        print('{:<12s} | {:<13s} | {:<13s} | {:<12s}'.format(
+            'Iteration', 'Cost', 'Cost delta', 'Time'))
+        print(100 * '-')
+        row = '{:12d} | {: 12.6e} | {: 12.6e} | {: 12.6e}'
+
+        chunk = int(min(_VERBOSE_CHUNK, max_iterations))
+        n_iter = 0
+        stop = False
+        deltas_parts = []
+        inc_any = np.zeros(2, dtype=bool)
+        cost = None
+        while not stop and n_iter < int(max_iterations):
+            this_chunk = min(chunk, int(max_iterations) - n_iter)
+            t0 = time.perf_counter()
+            Z, W, cost, n_it, trace, inc_flags, stop = core(
+                X, Z, W, lam_op, tolerance, max_iterations=this_chunk)
+            cost = jax.block_until_ready(cost)
+            dt = time.perf_counter() - t0
+            n_it = int(n_it)
+            if n_it == 0:
+                break
+            deltas = np.asarray(trace)[:n_it]
+            suffix = np.cumsum(deltas[::-1])[::-1]
+            costs = float(cost) - suffix + deltas
+            for i in range(n_it):
+                print(row.format(n_iter + i + 1, costs[i], deltas[i],
+                                 dt / n_it))
+            deltas_parts.append(deltas)
+            inc_any |= np.asarray(inc_flags)
+            n_iter += n_it
+            stop = bool(stop)
+        inc_flags = inc_any
+        cost_deltas = (np.concatenate(deltas_parts) if deltas_parts
+                       else np.zeros((0,)))
+        if stop and not inc_flags.any():
+            print('*** Converged at iteration {:d} ***'.format(n_iter))
+    else:
+        Z, W, cost, n_iter, cost_trace, inc_flags, _ = core(
+            X, Z, W, lam_op, tolerance,
+            max_iterations=int(max_iterations))
+        cost = jax.block_until_ready(cost)
+        n_iter = int(n_iter)
+        inc_flags = np.asarray(inc_flags)
+        cost_deltas = np.asarray(cost_trace)[:n_iter]
     elapsed = time.perf_counter() - start
 
-    n_iter = int(n_iter)
-    inc_flags = np.asarray(inc_flags)
     if require_monotonic and inc_flags.any():
         stage = _STAGE_NAMES[int(np.argmax(inc_flags))]
         raise RuntimeError(
             'factorization cost increased after {} update'.format(stage))
 
-    cost_deltas = np.asarray(cost_trace)[:n_iter]
     return Z, W, cost, n_iter, elapsed / max(n_iter, 1), cost_deltas
 
 

@@ -71,13 +71,26 @@ def create_hybrid_mesh(axis_names=("restarts", "samples"), devices=None,
         for d in devices:
             groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
         slice_groups = [groups[k] for k in sorted(groups)]
+    elif devices is not None:
+        raise ValueError(
+            "pass either devices (grouped by slice_index) or explicit "
+            "slice_groups, not both — slice_groups fully determines the "
+            "device layout")
+    slice_groups = [list(g) for g in slice_groups]
+    if not slice_groups or any(len(g) == 0 for g in slice_groups):
+        raise ValueError("slice_groups must be a non-empty sequence of "
+                         "non-empty device groups; got %r" % (slice_groups,))
     sizes = {len(g) for g in slice_groups}
     if len(sizes) != 1:
         raise ValueError(
             "slices must hold equally many devices for a rectangular "
             "mesh; got group sizes %r" % sorted(len(g) for g in
                                                 slice_groups))
-    mesh_devices = np.asarray([list(g) for g in slice_groups])
+    flat = [d for g in slice_groups for d in g]
+    if len(set(flat)) != len(flat):
+        raise ValueError("slice_groups contain duplicate devices; each "
+                         "device may appear in exactly one slice group")
+    mesh_devices = np.asarray(slice_groups)
     return Mesh(mesh_devices, axis_names)
 
 

@@ -151,13 +151,13 @@ def _aa_fit_batch(X, K, diss, keys, delta, tolerance, component_mask,
             component_mask=component_mask, do_scale=do_scale,
             dtype=dtype)
 
-        Z, C, alpha, cost, n_iter, trace, _ = _kernel_aa_core(
+        Z, C, alpha, cost, n_iter, trace, _, _ = _kernel_aa_core(
             K, Z, C, alpha, delta, tolerance, X, component_mask,
             do_scale=do_scale, do_dict=True, do_weights=True,
             criterion=criterion, max_iterations=max_iterations,
             require_monotonic=False, has_data=has_data,
             dict_cfg=dict_cfg, weights_cfg=weights_cfg,
-            scale_cfg=scale_cfg, verbose=False)
+            scale_cfg=scale_cfg)
         return Z, C, alpha, cost, n_iter, trace
 
     return jax.vmap(fit_one)(keys)
@@ -533,7 +533,7 @@ def _make_aa_resume_run(mesh, restart_axis, *, max_iterations, criterion,
                 criterion=criterion, max_iterations=max_iterations,
                 require_monotonic=False, has_data=has_data,
                 dict_cfg=dict_cfg, weights_cfg=weights_cfg,
-                scale_cfg=scale_cfg, verbose=False)
+                scale_cfg=scale_cfg)[:7]
 
         return jax.vmap(resume_one)(Zs, Cs, alphas)
 
@@ -966,11 +966,11 @@ def _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance, *, n_components,
     def fit_one(key):
         Z, W = _init_gpnh_state(key, X, diss, n_components=n_components,
                                 init=init, n_extra_steps=n_extra_steps)
-        Z, W, cost, n_iter, trace, _ = _gpnh_core(
+        Z, W, cost, n_iter, trace, _, _ = _gpnh_core(
             X, Z, W, lambda_W, tolerance,
             do_dict=True, do_weights=True, criterion=criterion,
             max_iterations=max_iterations, require_monotonic=False,
-            weights_cfg=weights_cfg, verbose=False)
+            weights_cfg=weights_cfg)
         return Z, W, cost, n_iter, trace
 
     return jax.vmap(fit_one)(keys)
@@ -1220,7 +1220,7 @@ def _make_gpnh_resume_run(mesh, restart_axis, *, max_iterations,
                 X, Z, W, lambda_W, tolerance, do_dict=True,
                 do_weights=True, criterion=criterion,
                 max_iterations=max_iterations, require_monotonic=False,
-                weights_cfg=weights_cfg, verbose=False)
+                weights_cfg=weights_cfg)[:6]
 
         return jax.vmap(resume_one)(Zs, Ws)
 

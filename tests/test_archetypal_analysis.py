@@ -8,6 +8,7 @@ planted convex-hull vertices.
 """
 
 import numpy as np
+import pytest
 
 from convex_dim_red_tpu.models.archetypal_analysis import (
     KernelAA,
@@ -362,3 +363,48 @@ def test_full_fit_with_furthest_sum_init_and_scale_relaxation():
     Zt, cost = aa.transform(X)
     assert np.allclose(np.asarray(Zt).sum(axis=1), 1, atol=1e-10)
     assert np.isfinite(cost)
+
+
+def test_iterate_kernel_aa_verbose_chunked_table(capsys):
+    """verbose=1 must render the reference-format table (Iteration |
+    Cost | Cost delta | Time, archetypal_analysis.py:442-447) WITHOUT
+    host callbacks — the chunked driver prints host-side between
+    bounded device executions — and the chunked trajectory must be
+    identical to the single-program non-verbose fit."""
+    rng = np.random.RandomState(3)
+    X = rng.uniform(size=(40, 6))
+    K = X @ X.T
+    C = _right_stochastic(rng, (3, 40))
+    Z = _right_stochastic(rng, (40, 3))
+    alpha = np.ones(3)
+
+    quiet = iterate_kernel_aa(K, Z, C, alpha, delta=0,
+                              update_scale_factors=False,
+                              tolerance=1e-9, max_iterations=200)
+    capsys.readouterr()
+    loud = iterate_kernel_aa(K, Z, C, alpha, delta=0,
+                             update_scale_factors=False,
+                             tolerance=1e-9, max_iterations=200,
+                             verbose=1)
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+
+    assert lines[0] == '*** Kernel AA: n_components = 3 ***'
+    header = [c.strip() for c in lines[1].split('|')]
+    assert header == ['Iteration', 'Cost', 'Cost delta', 'Time']
+
+    n_iter = loud[4]
+    assert n_iter == quiet[4]
+    assert float(loud[3]) == pytest.approx(float(quiet[3]), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(loud[0]), np.asarray(quiet[0]),
+                               rtol=1e-12, atol=1e-14)
+    # One table row per iteration, then the converged footer.
+    rows = [ln for ln in lines if ln.count('|') == 3 and 'Cost' not in ln]
+    assert len(rows) == n_iter
+    assert any('*** Converged at iteration {:d} ***'.format(n_iter)
+               in ln for ln in lines)
+    # The final row's cost column equals the returned cost.
+    last_cost = float(rows[-1].split('|')[1])
+    assert last_cost == pytest.approx(float(loud[3]), rel=1e-6)
+    # cost_deltas concatenated across chunks match the quiet fit's.
+    np.testing.assert_allclose(loud[6], quiet[6], rtol=1e-10, atol=1e-14)

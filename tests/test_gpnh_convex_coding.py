@@ -7,6 +7,7 @@ single-factor updates converge below the iteration cap.
 """
 
 import numpy as np
+import pytest
 
 from convex_dim_red_tpu.models.gpnh_convex_coding import (
     GPNHConvexCoding,
@@ -244,3 +245,34 @@ def test_fit_with_furthest_sum_init():
     Z_fit = np.asarray(model.fit_transform(X))
     assert np.allclose(Z_fit.sum(axis=1), 1, atol=1e-10)
     assert model.n_iter < 500
+
+
+def test_iterate_gpnh_verbose_chunked_table(capsys):
+    """verbose=1 renders the reference table (gpnh_convex_coding.py:
+    334-337, :392) with a Time column, host-side (no callbacks), and
+    the chunked trajectory equals the non-verbose single program."""
+    rng = np.random.RandomState(5)
+    X = rng.uniform(size=(60, 8))
+    W = rng.uniform(size=(8, 3))
+    Z = _right_stochastic(rng, (60, 3))
+
+    quiet = iterate_gpnh_convex_coding(
+        X, Z, W, lambda_W=0.1, tolerance=1e-9, max_iterations=200)
+    capsys.readouterr()
+    loud = iterate_gpnh_convex_coding(
+        X, Z, W, lambda_W=0.1, tolerance=1e-9, max_iterations=200,
+        verbose=1)
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+
+    assert lines[0] == '*** GPNH convex coding: n_components = 3 ***'
+    header = [c.strip() for c in lines[1].split('|')]
+    assert header == ['Iteration', 'Cost', 'Cost delta', 'Time']
+
+    n_iter = loud[3]
+    assert n_iter == quiet[3]
+    assert float(loud[2]) == pytest.approx(float(quiet[2]), rel=1e-12)
+    rows = [ln for ln in lines if ln.count('|') == 3 and 'Cost' not in ln]
+    assert len(rows) == n_iter
+    assert any('*** Converged at iteration' in ln for ln in lines)
+    np.testing.assert_allclose(loud[5], quiet[5], rtol=1e-10, atol=1e-14)

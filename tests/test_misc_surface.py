@@ -157,7 +157,7 @@ def test_weights_backend_threads_into_aa_core(monkeypatch):
         weights_cfg=QPSolverConfig(backend='pallas',
                                    epsilon_two=1.2345e-6,
                                    max_iterations=3),
-        scale_cfg=SPGSolverConfig(), verbose=False)
+        scale_cfg=SPGSolverConfig())
     assert 'pallas' in seen
 
 
@@ -185,8 +185,7 @@ def test_weights_backend_threads_into_gpnh_core(monkeypatch):
         max_iterations=1, require_monotonic=False,
         weights_cfg=QPSolverConfig(backend='pallas',
                                    epsilon_two=1.2345e-6,
-                                   max_iterations=3),
-        verbose=False)
+                                   max_iterations=3))
     assert 'pallas' in seen
 
 

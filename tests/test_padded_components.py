@@ -116,9 +116,8 @@ def _run_core(X, Z0, C0, mask, max_iterations=40):
         criterion='abs_delta_f', max_iterations=max_iterations,
         require_monotonic=False, has_data=True,
         dict_cfg=SPGSolverConfig(max_iterations=5),
-        weights_cfg=QPSolverConfig(), scale_cfg=SPGSolverConfig(),
-        verbose=False)
-    Z, C, alpha, cost, n_iter, trace, _ = out
+        weights_cfg=QPSolverConfig(), scale_cfg=SPGSolverConfig())
+    Z, C, alpha, cost, n_iter, trace, _, _ = out
     return (np.asarray(Z), np.asarray(C), float(cost), int(n_iter),
             np.asarray(trace))
 

@@ -214,9 +214,8 @@ def _unsharded_aa_fit(X, Zs, Cs, alphas, *, delta, tolerance,
             do_scale=delta != 0, do_dict=True, do_weights=True,
             criterion=criterion, max_iterations=max_iterations,
             require_monotonic=False, has_data=True, dict_cfg=dict_cfg,
-            weights_cfg=weights_cfg, scale_cfg=SPGSolverConfig(),
-            verbose=False)
-        outs.append(out)
+            weights_cfg=weights_cfg, scale_cfg=SPGSolverConfig())
+        outs.append(out[:7])
     return outs
 
 
@@ -322,7 +321,7 @@ def test_sharded_gpnh_fit_matches_single_device():
             jnp.asarray(lam), jnp.asarray(1e-10),
             do_dict=True, do_weights=True, criterion='abs_delta_f',
             max_iterations=60, require_monotonic=False,
-            weights_cfg=QPSolverConfig(), verbose=False)
+            weights_cfg=QPSolverConfig())
         ref_costs.append(float(out[2]))
 
     assert np.allclose(np.asarray(result['costs']), np.array(ref_costs),
@@ -791,6 +790,18 @@ def test_hybrid_mesh_groups_slices_on_restart_axis():
     single = create_hybrid_mesh(devices=devices)
     assert single.devices.shape == (1, 8)
 
+    # Ambiguous / malformed layouts fail loudly at construction, not
+    # deep inside Mesh internals.
+    with pytest.raises(ValueError, match="not both"):
+        create_hybrid_mesh(devices=devices,
+                           slice_groups=[devices[:4], devices[4:]])
+    with pytest.raises(ValueError, match="non-empty"):
+        create_hybrid_mesh(slice_groups=[])
+    with pytest.raises(ValueError, match="non-empty"):
+        create_hybrid_mesh(slice_groups=[devices[:4], []])
+    with pytest.raises(ValueError, match="duplicate"):
+        create_hybrid_mesh(slice_groups=[devices[:4], devices[:4]])
+
 
 def test_sharded_aa_fit_on_hybrid_mesh_matches_flat_mesh():
     """The SPMD fit must be numerically invariant to whether its mesh
@@ -805,8 +816,13 @@ def test_sharded_aa_fit_on_hybrid_mesh_matches_flat_mesh():
     alphas = np.ones((R, k))
 
     devices = jax.devices()
-    hybrid = create_hybrid_mesh(slice_groups=[devices[:4], devices[4:]])
+    # Reversed slice order: the hybrid mesh has a genuinely different
+    # device layout than the flat mesh, so agreement shows layout
+    # invariance rather than grid identity.
+    hybrid = create_hybrid_mesh(slice_groups=[devices[4:], devices[:4]])
     flat = create_mesh(shape=(2, 4), axis_names=("restarts", "samples"))
+    assert not np.array_equal(np.asarray(hybrid.devices),
+                              np.asarray(flat.devices))
 
     kwargs = dict(tolerance=1e-10, max_iterations=40,
                   stopping_criterion='abs_delta_f')

@@ -486,3 +486,123 @@ def test_aa_analysis_cross_validate_attrs():
         assert attr in attrs, attr
     assert attrs['n_folds'] == '3'
     assert np.isfinite(float(attrs['training_set_cost']))
+
+
+def test_decode_cf_time_fixed_calendars():
+    """CF model calendars (360_day / noleap / all_leap) decode month
+    labels correctly, including where they diverge from the Gregorian
+    calendar (reference products are CF files; CF conventions §4.4.1)."""
+    # 360_day: every month is exactly 30 days.
+    t = Variable(('time',), np.array([0.0, 30.0, 359.0, 360.0, 719.0]),
+                 {'units': 'days since 1850-1-1', 'calendar': '360_day'})
+    years, months = decode_cf_time(t)
+    assert years.tolist() == [1850, 1850, 1850, 1851, 1851]
+    assert months.tolist() == [1, 2, 12, 1, 12]
+
+    # A Feb-30 base date is legal in the 360_day calendar and must not
+    # crash the (Gregorian) datetime constructor.
+    t = Variable(('time',), np.array([1.0]),
+                 {'units': 'days since 1850-2-30', 'calendar': '360_day'})
+    years, months = decode_cf_time(t)
+    assert (years.tolist(), months.tolist()) == ([1850], [3])
+
+    # noleap: Gregorian month lengths, never a Feb 29.  90 days after
+    # 1999-12-01 is Mar 1 2000 in noleap (the real calendar says
+    # Feb 29 2000 — 2000 IS a Gregorian leap year).
+    t = Variable(('time',), np.array([0.0, 31.0, 59.0, 364.0, 365.0]),
+                 {'units': 'days since 1850-1-1', 'calendar': 'noleap'})
+    years, months = decode_cf_time(t)
+    assert years.tolist() == [1850, 1850, 1850, 1850, 1851]
+    assert months.tolist() == [1, 2, 3, 12, 1]
+    t = Variable(('time',), np.array([90.0]),
+                 {'units': 'days since 1999-12-1', 'calendar': '365_day'})
+    years, months = decode_cf_time(t)
+    assert (years.tolist(), months.tolist()) == ([2000], [3])
+
+    # all_leap: every February has 29 days.
+    t = Variable(('time',), np.array([59.0, 60.0]),
+                 {'units': 'days since 2001-1-1', 'calendar': 'all_leap'})
+    years, months = decode_cf_time(t)
+    assert (years.tolist(), months.tolist()) == ([2001, 2001], [2, 3])
+
+    # An explicit standard calendar attribute keeps the Gregorian path.
+    t = Variable(('time',), np.array([59.0]),
+                 {'units': 'days since 2000-1-1', 'calendar': 'standard'})
+    years, months = decode_cf_time(t)
+    assert (years.tolist(), months.tolist()) == ([2000], [2])
+
+
+def test_hadisst_conventions_fixture(tmp_path):
+    """End-to-end ingest of a HadISST-conventions-faithful synthetic
+    file: ice-flag sentinel -1000.0 (reference run_hadisst_aa.py:22-34),
+    netCDF _FillValue, DESCENDING latitudes, and days-since-1870 time
+    (reference get_hadisst.sh:13-16) — through the anomalies CLI and
+    cli.common.load_field."""
+    from convex_dim_red_tpu.cli.anomalies import anomalies_main
+    from convex_dim_red_tpu.cli.common import load_field
+
+    nt, nlat, nlon = 48, 4, 3
+    rng = np.random.RandomState(0)
+    lat = np.array([30.0, 10.0, -10.0, -30.0])   # HadISST: descending
+    lon = np.array([0.5, 120.5, 240.5])
+    base = np.datetime64('1870-01-01')
+    stamps = np.arange('1870-01', '1880-01', dtype='datetime64[M]')[:nt]
+    days = (stamps.astype('datetime64[D]') - base).astype(int).astype(float)
+
+    sst = 20.0 + rng.standard_normal((nt, nlat, nlon))
+    sst[:, 3, :] = -1000.0          # ice-flagged row
+    fill = -1.0e30
+    sst_store = sst.copy()
+    sst_store[:, 0, 0] = fill       # land cell as _FillValue
+
+    ds = Dataset(
+        data_vars={'sst': Variable(('time', 'latitude', 'longitude'),
+                                   sst_store, {'_FillValue': fill})},
+        coords={
+            'time': Variable(('time',), days,
+                             {'units': 'days since 1870-1-1',
+                              'calendar': 'standard'}),
+            'latitude': Variable(('latitude',), lat,
+                                 {'units': 'degrees_north'}),
+            'longitude': Variable(('longitude',), lon,
+                                  {'units': 'degrees_east'}),
+        })
+    src = str(tmp_path / 'hadisst.nc')
+    out = str(tmp_path / 'hadisst_anom.nc')
+    ds.to_netcdf(src)
+
+    # _FillValue decodes to NaN on read.
+    back = open_dataset(src)
+    assert np.isnan(back['sst'].data[:, 0, 0]).all()
+    assert np.isfinite(back['sst'].data[:, 1, :]).all()
+
+    anomalies_main([src, out,
+                    '--base-period-start-year', '1870',
+                    '--base-period-end-year', '1873'])
+
+    anom_ds = open_dataset(out)
+    anom = anom_ds['sst_anom'].data
+    # Ice sentinel and fill cells are missing all the way through...
+    assert np.isnan(anom[:, 3, :]).all()
+    assert np.isnan(anom[:, 0, 0]).all()
+    # ...while ocean cells carry finite centered anomalies.
+    assert np.isfinite(anom[:, 1, :]).all()
+    assert abs(np.nanmean(anom[:, 1, :])) < 1.0
+
+    years, months = decode_cf_time(anom_ds.coords['time'])
+    assert years.min() == 1870 and years.max() == 1873
+    assert months[:3].tolist() == [1, 2, 3]
+
+    # load_field keeps the descending latitude order and aligns the
+    # scos weights with it.
+    f = load_field(out, 'sst_anom', 'time', lat_name='latitude',
+                   lat_weights='scos')
+    assert f['data'].shape == (nt, nlat, nlon)
+    w = np.asarray(f['weights']).reshape(nlat)
+    expected = np.sqrt(np.cos(np.deg2rad(lat)))
+    assert np.allclose(w, expected)
+    # Latitude-range subsetting works on the descending axis.
+    f2 = load_field(out, 'sst_anom', 'time', lat_name='latitude',
+                    min_latitude=0.0, max_latitude=90.0,
+                    lat_weights='scos')
+    assert f2['data'].shape == (nt, 2, nlon)

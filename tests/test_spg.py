@@ -202,3 +202,33 @@ def test_spg_verbose_prints_reference_table(capsys):
     assert '-1.000000e+00' in lines[2]
     # Converged footer (reference spg.py:263-266).
     assert any('*** Converged at iteration' in ln for ln in lines)
+
+
+def test_spg_verbose_posthoc_table_without_callbacks(capsys, monkeypatch):
+    """On backends without host callbacks (the axon TPU plugin), the
+    SPG verbose table is buffered in the loop carry and printed after
+    the solve — identical reference format, time column amortized —
+    instead of silently vanishing (round-2 verdict item 5)."""
+    import convex_dim_red_tpu.utils.compat as compat
+    monkeypatch.setattr(compat, "host_callbacks_supported", lambda: False)
+
+    f = lambda x: jnp.sum(x * x)
+    df = lambda x: 2.0 * x
+    x0 = np.full((2,), 3.0)
+    x, f_min, n_iter, n_feval = spg(f, df, x0, verbose=1,
+                                    max_iterations=50)
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    assert lines[0].split('|')[0].strip() == 'n_iter'
+    assert 'conv_crit' in lines[0] and 'time' in lines[0]
+    assert lines[1] == '-' * 79
+    assert '-1.000000e+00' in lines[2]
+    rows = [ln for ln in lines if ln.count('|') == 4][1:]  # skip header
+    # Row 0 plus one row per iteration.
+    assert len(rows) == int(n_iter) + 1
+    assert any('*** Converged at iteration' in ln for ln in lines)
+    # Matches the callback-path solve exactly.
+    x_cb, f_cb, n_cb, nf_cb = spg(f, df, x0, verbose=0,
+                                  max_iterations=50)
+    assert int(n_iter) == int(n_cb) and int(n_feval) == int(nf_cb)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_cb))
