@@ -54,7 +54,19 @@ def main():
         ('grouped', dict(grouped=True, restart_chunk=25)),
         ('grouped_50', dict(grouped=True, restart_chunk=50)),
         ('grouped_100', dict(grouped=True, restart_chunk=100)),
+        # Convergence compaction (exact protocol semantics): bounded
+        # rounds + re-packing of unconverged restarts into dense
+        # chunks (parallel/restarts.py:_compacted_aa_best).
+        ('compact_25x64', dict(grouped=True, restart_chunk=25,
+                               compact_iterations=64)),
+        ('compact_25x96', dict(grouped=True, restart_chunk=25,
+                               compact_iterations=96)),
+        ('compact_25x32', dict(grouped=True, restart_chunk=25,
+                               compact_iterations=32)),
     ]
+    if len(sys.argv) > 1:
+        wanted = set(sys.argv[1:])
+        configs = [c for c in configs if c[0] in wanted]
 
     results = {}
     for name, extra in configs:
@@ -91,8 +103,14 @@ def main():
         }
         print(json.dumps({name: results[name]}), flush=True)
 
-    results['grouped_speedup_warm'] = round(
-        results['vmapped']['warm_s'] / results['grouped']['warm_s'], 3)
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prior = json.load(f)
+        prior.update(results)
+        results = prior
+    if 'vmapped' in results and 'grouped' in results:
+        results['grouped_speedup_warm'] = round(
+            results['vmapped']['warm_s'] / results['grouped']['warm_s'], 3)
     results['workload'] = {
         'n': N_SAMPLES, 'd': N_FEATURES, 'k': K, 'n_init': N_INIT,
         'dict_max_iterations': DICT_MAX_ITERATIONS,

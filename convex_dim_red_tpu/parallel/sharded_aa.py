@@ -266,7 +266,7 @@ def _keep_best_loop(states, cost0, iterate_batch, *, tolerance, criterion,
             trace, n_iters)
     states, cost, it, done, trace, n_iters = jax.lax.while_loop(
         cond, body, init)
-    return states, cost, trace, n_iters
+    return states, cost, trace, n_iters, done
 
 
 def _select_best(states, costs, trace, n_iters, *, n_valid, restart_axis):
@@ -422,7 +422,7 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
             lambda Z, C, a: _aa_local_cost(X_loc, Z, C, a, sample_axis)
         )(Zs_loc, Cs_loc, alphas_loc)
 
-        states, costs, trace, n_iters = _keep_best_loop(
+        states, costs, trace, n_iters, _ = _keep_best_loop(
             (Zs_loc, Cs_loc, alphas_loc), cost0, iterate_batch,
             tolerance=tolerance, criterion=stopping_criterion,
             max_iterations=max_iterations)
@@ -513,7 +513,7 @@ def sharded_kernel_aa_fit(mesh, K, Zs, Cs, alphas, *, delta=0.0,
                 K_loc, Z, C, a, trace_K, sample_axis)
         )(Zs_loc, Cs_loc, alphas_loc)
 
-        states, costs, trace, n_iters = _keep_best_loop(
+        states, costs, trace, n_iters, _ = _keep_best_loop(
             (Zs_loc, Cs_loc, alphas_loc), cost0, iterate_batch,
             tolerance=tolerance, criterion=stopping_criterion,
             max_iterations=max_iterations)
@@ -608,7 +608,7 @@ def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
             return Zs_l, Ws_l, costs
 
         cost0 = jax.vmap(cost_of)(Zs_loc, Ws_loc)
-        states, costs, trace, n_iters = _keep_best_loop(
+        states, costs, trace, n_iters, _ = _keep_best_loop(
             (Zs_loc, Ws_loc), cost0, iterate_batch, tolerance=tolerance,
             criterion=stopping_criterion, max_iterations=max_iterations)
 

@@ -145,3 +145,52 @@ def test_grouped_auto_is_legacy_on_cpu():
     # Mesh fits never take the single-chip grouped path implicitly.
     mesh = create_mesh(shape=(8,), axis_names=("restarts",))
     assert _grouped_backend(mesh, None, cfg, 3) is None
+
+
+def test_compacted_aa_matches_grouped_single_call():
+    """Convergence compaction is a pure scheduling change: per-restart
+    costs, iteration counts, the winner, and the winner's cost-delta
+    trace must all equal the one-shot grouped run (state-resuming
+    rounds continue the exact trajectory; the carried done flag keeps
+    the round boundary from adding spurious iterations)."""
+    X = _planted(np.random.RandomState(2))
+    key = jax.random.PRNGKey(7)
+    kwargs = dict(tolerance=1e-10, max_iterations=300, grouped=True)
+    plain = aa_fit_restarts(X, 3, key, n_init=9, **kwargs)
+    compact = aa_fit_restarts(X, 3, key, n_init=9, restart_chunk=4,
+                              compact_iterations=20, **kwargs)
+    assert np.allclose(np.asarray(plain['costs']),
+                       np.asarray(compact['costs']), rtol=1e-10)
+    assert np.array_equal(np.asarray(plain['n_iters']),
+                          np.asarray(compact['n_iters']))
+    assert plain['best_index'] == compact['best_index']
+    assert compact['cost'] == pytest.approx(plain['cost'], rel=1e-12)
+    assert compact['n_iter'] == plain['n_iter']
+    np.testing.assert_allclose(compact['cost_deltas'],
+                               plain['cost_deltas'],
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(compact['weights']),
+                               np.asarray(plain['weights']),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_compacted_aa_respects_iteration_cap_and_validations():
+    X = _planted(np.random.RandomState(3))
+    key = jax.random.PRNGKey(1)
+    # Cap not divisible by the round length: totals must not exceed it.
+    res = aa_fit_restarts(X, 3, key, n_init=5, tolerance=1e-14,
+                          max_iterations=25, compact_iterations=10,
+                          restart_chunk=2)
+    assert int(np.max(res['n_iters'])) <= 25
+    assert np.isfinite(res['cost'])
+
+    with pytest.raises(ValueError, match='mutually exclusive'):
+        aa_fit_restarts(X, 3, key, n_init=4, compact_iterations=10,
+                        screen_iterations=5)
+    with pytest.raises(ValueError, match='grouped'):
+        aa_fit_restarts(X, 3, key, n_init=4, compact_iterations=10,
+                        grouped=False)
+    with pytest.raises(ValueError, match='mesh'):
+        mesh = create_mesh(shape=(8,), axis_names=("restarts",))
+        aa_fit_restarts(X, 3, key, n_init=8, compact_iterations=10,
+                        mesh=mesh)
