@@ -63,6 +63,12 @@ def main():
                                compact_iterations=96)),
         ('compact_25x32', dict(grouped=True, restart_chunk=25,
                                compact_iterations=32)),
+        ('compact_25x16', dict(grouped=True, restart_chunk=25,
+                               compact_iterations=16)),
+        ('compact_25x48', dict(grouped=True, restart_chunk=25,
+                               compact_iterations=48)),
+        ('compact_50x48', dict(grouped=True, restart_chunk=50,
+                               compact_iterations=48)),
     ]
     if len(sys.argv) > 1:
         wanted = set(sys.argv[1:])

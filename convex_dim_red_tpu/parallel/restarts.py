@@ -448,34 +448,31 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
                                scale_cfg, weights_backend,
                                n_components=None, init=None,
                                n_extra_steps=None):
-    """One bounded COMPACTION ROUND of grouped restarts.
+    """One bounded, DEVICE-RESIDENT compaction round of grouped restarts.
 
-    ``fresh=True`` initializes the batch from PRNG keys; ``fresh=False``
-    resumes from explicit (Zs, Cs, alphas) states.  Unlike the
-    screen/resume runners this returns the full per-restart round state
-    — states, costs, per-iteration cost-delta trace, iteration counts,
-    and the converged mask — so the host-side compaction driver
-    (:func:`_compacted_aa_best`) can retire converged restarts and
-    re-pack the unconverged ones into dense chunks between rounds.
+    The restart population's states live in fixed-width ``(R, ...)``
+    device arrays for the whole compacted fit; each round call GATHERS
+    its chunk by an ``idx`` vector inside the jitted program, advances
+    it up to ``max_iterations`` iterations, and SCATTERS the resulting
+    states back into the population arrays — so between rounds no state
+    ever crosses the host boundary (through the axon relay a single
+    host round-trip costs ~35-40 ms; the first compaction cut shipped
+    every chunk's (Z, C, alpha) to NumPy and back each round, which is
+    why shorter rounds got *slower*, benchmarks/grouped_headline_ab.json
+    compact_25x32).  Only the per-chunk scalars the scheduler needs —
+    costs, cost-delta trace, iteration counts, converged mask — are
+    fetched, in one ``device_get`` per chunk.
+
+    ``fresh=True`` initializes the chunk from ``keys_all[idx]``;
+    ``fresh=False`` resumes from ``states_all`` gathered at ``idx``.
+    Duplicate indices (tail-chunk tiling) are harmless: duplicated rows
+    compute identical trajectories, so the scatter writes equal values.
     """
     dict_kwargs, weights_kwargs, scale_kwargs = _grouped_solver_kwargs(
         dict_cfg, weights_cfg, scale_cfg)
 
-    @apply_matmul_precision
-    @jax.jit
-    def run(X, arg, delta, tolerance, component_mask=None):
-        K, diss, data, trace_K = _prepare_grouped(
-            X, has_data, init if fresh else None)
-        if fresh:
-            Zs, Cs, alphas = jax.vmap(functools.partial(
-                _init_aa_state, n_samples=K.shape[0],
-                n_components=n_components, init=init, diss=diss,
-                n_extra_steps=n_extra_steps,
-                component_mask=component_mask,
-                do_scale=do_scale, dtype=K.dtype), in_axes=(0, None))(
-                    arg, delta)
-        else:
-            Zs, Cs, alphas = arg
+    def finish(K, data, trace_K, states_all, idx, Zs, Cs, alphas,
+               tolerance, component_mask, delta):
         iterate, cost0 = _aa_grouped_iterate(
             data, K, delta=delta, do_scale=do_scale, has_data=has_data,
             dict_kwargs=dict_kwargs, weights_backend=weights_backend,
@@ -486,7 +483,37 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
             tolerance=tolerance, criterion=criterion,
             max_iterations=max_iterations)
         Zs, Cs, alphas = states
-        return Zs, Cs, alphas, costs, trace, n_iters, done
+        Z_all, C_all, a_all = states_all
+        Z_all = Z_all.at[idx].set(Zs)
+        C_all = C_all.at[idx].set(Cs)
+        a_all = a_all.at[idx].set(alphas)
+        return (Z_all, C_all, a_all), costs, trace, n_iters, done
+
+    if fresh:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, keys_all, states_all, idx, delta, tolerance,
+                component_mask=None):
+            K, diss, data, trace_K = _prepare_grouped(X, has_data, init)
+            Zs, Cs, alphas = jax.vmap(functools.partial(
+                _init_aa_state, n_samples=K.shape[0],
+                n_components=n_components, init=init, diss=diss,
+                n_extra_steps=n_extra_steps,
+                component_mask=component_mask,
+                do_scale=do_scale, dtype=K.dtype), in_axes=(0, None))(
+                    keys_all[idx], delta)
+            return finish(K, data, trace_K, states_all, idx, Zs, Cs,
+                          alphas, tolerance, component_mask, delta)
+        return run
+
+    @apply_matmul_precision
+    @jax.jit
+    def run(X, states_all, idx, delta, tolerance, component_mask=None):
+        K, diss, data, trace_K = _prepare_grouped(X, has_data, None)
+        Z_all, C_all, a_all = states_all
+        Zs, Cs, alphas = Z_all[idx], C_all[idx], a_all[idx]
+        return finish(K, data, trace_K, states_all, idx, Zs, Cs,
+                      alphas, tolerance, component_mask, delta)
 
     return run
 
@@ -514,9 +541,16 @@ def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
     Returns ``(best, costs, n_iters)`` with the
     :func:`_keep_best_over_chunks` contract:
     ``best = (Z, C, alpha, trace, best_cost, best_n_iter)``.
+
+    All restart states stay on device in fixed-width ``(R, ...)``
+    population arrays; the host sees only per-chunk scheduler scalars
+    (see :func:`_make_aa_grouped_round_run`).  The round programs are
+    keyed by round length alone, so every round of a fit — and every
+    fit in a process — reuses at most two compiled programs (full
+    rounds + one clipped final round).
     """
     R = keys.shape[0]
-    chunk = int(restart_chunk or R)
+    chunk = min(int(restart_chunk or R), R)
     max_iterations = int(statics['max_iterations'])
     M = int(round_iterations)
     shared = dict(criterion=statics['criterion'],
@@ -530,70 +564,70 @@ def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
     costs = np.full((R,), np.inf)
     n_iters = np.zeros((R,), np.int64)
     traces = [[] for _ in range(R)]
-    final_states = {}
 
-    def finalize(i, Z, C, alpha, cost):
-        final_states[i] = (Z, C, alpha)
-        costs[i] = cost
+    n_samples = X.shape[0]
+    k = statics['n_components']
+    dtype = jnp.asarray(X).dtype
+    states_all = (jnp.zeros((R, n_samples, k), dtype),
+                  jnp.zeros((R, k, n_samples), dtype),
+                  jnp.ones((R, k), dtype))
 
-    # Round 1: fresh starts from keys, in chunks.
-    M1 = min(M, max_iterations)
-    fresh = _make_aa_grouped_round_run(
-        fresh=True, max_iterations=M1,
-        n_components=statics['n_components'], init=statics['init'],
-        n_extra_steps=statics['n_extra_steps'], **shared)
-    pending = []   # (original_index, Z, C, alpha)
-    for s in range(0, R, chunk):
-        idx = np.arange(s, min(s + chunk, R))
-        kc = keys[idx[0]:idx[-1] + 1]
-        Zs, Cs, alphas, cs, tr, ni, done = (np.asarray(a) for a in fresh(
-            X, kc, delta, tolerance, component_mask))
-        for j, i in enumerate(idx):
-            n_iters[i] += ni[j]
-            traces[i].append(tr[j, :ni[j]])
-            if done[j] or M1 >= max_iterations:
-                finalize(i, Zs[j], Cs[j], alphas[j], cs[j])
-            else:
-                pending.append((i, Zs[j], Cs[j], alphas[j], cs[j]))
-
-    used = M1
-    while pending and used < max_iterations:
+    pending = np.arange(R)
+    used = 0
+    while pending.size and used < max_iterations:
         M_round = min(M, max_iterations - used)
-        resume = _make_aa_grouped_round_run(
-            fresh=False, max_iterations=M_round, **shared)
+        if used == 0:
+            runner = _make_aa_grouped_round_run(
+                fresh=True, max_iterations=M_round,
+                n_components=k, init=statics['init'],
+                n_extra_steps=statics['n_extra_steps'], **shared)
+        else:
+            runner = _make_aa_grouped_round_run(
+                fresh=False, max_iterations=M_round, **shared)
+
+        # Dispatch every chunk of the round before fetching any result:
+        # the calls are async, so device work and relay latency overlap.
+        outs = []
+        for s in range(0, pending.size, chunk):
+            idx_np = pending[s:s + chunk]
+            if idx_np.size < chunk:
+                # Tile the tail so every round reuses the one compiled
+                # chunk width; duplicate rows recompute the same
+                # trajectory and are skipped below.
+                idx_np = np.resize(idx_np, chunk)
+            idx = jnp.asarray(idx_np, jnp.int32)
+            if used == 0:
+                states_all, cs, tr, ni, done = runner(
+                    X, keys, states_all, idx, delta, tolerance,
+                    component_mask)
+            else:
+                states_all, cs, tr, ni, done = runner(
+                    X, states_all, idx, delta, tolerance,
+                    component_mask)
+            outs.append((idx_np, (cs, tr, ni, done)))
+
         next_pending = []
-        for s in range(0, len(pending), chunk):
-            group = pending[s:s + chunk]
-            real = len(group)
-            # Pad the tail chunk by tiling so every round reuses the
-            # one compiled chunk-width program; padded copies are
-            # discarded below.
-            sel = [group[j % real] for j in range(chunk)] \
-                if real < chunk and R >= chunk else group
-            Zs = jnp.asarray(np.stack([g[1] for g in sel]))
-            Cs = jnp.asarray(np.stack([g[2] for g in sel]))
-            alphas = jnp.asarray(np.stack([g[3] for g in sel]))
-            Zs, Cs, alphas, cs, tr, ni, done = (
-                np.asarray(a) for a in resume(
-                    X, (Zs, Cs, alphas), delta, tolerance,
-                    component_mask))
-            for j in range(real):
-                i = group[j][0]
+        for idx_np, out in outs:
+            cs, tr, ni, done = jax.device_get(out)
+            seen = set()
+            for j, i in enumerate(idx_np):
+                if i in seen:
+                    continue
+                seen.add(i)
                 n_iters[i] += ni[j]
                 traces[i].append(tr[j, :ni[j]])
                 if done[j] or used + M_round >= max_iterations:
-                    finalize(i, Zs[j], Cs[j], alphas[j], cs[j])
+                    costs[i] = cs[j]
                 else:
-                    next_pending.append((i, Zs[j], Cs[j], alphas[j],
-                                         cs[j]))
-        pending = next_pending
+                    next_pending.append(i)
+        pending = np.asarray(next_pending, dtype=np.int64)
         used += M_round
 
     best = int(np.argmin(costs))
-    Zb, Cb, ab = final_states[best]
+    Z_all, C_all, a_all = states_all
     trace_b = (np.concatenate(traces[best]) if traces[best]
                else np.zeros((0,)))
-    best_tuple = (jnp.asarray(Zb), jnp.asarray(Cb), jnp.asarray(ab),
+    best_tuple = (Z_all[best], C_all[best], a_all[best],
                   trace_b, float(costs[best]), int(n_iters[best]))
     return best_tuple, costs, n_iters
 
