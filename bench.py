@@ -75,7 +75,8 @@ def make_data(dtype):
 def measure_baseline():
     """Measure the NumPy-baseline Gram + per-outer-iteration time.
 
-    Protocol v3 (stronger than the v2 single 3-iteration run): ``BASELINE_RUNS``
+    Protocol v3 (stronger than v2's single 3-iteration run):
+    ``BASELINE_RUNS``
     independent restarts (distinct seeds), each capped at
     ``BASELINE_CAP_ITERS`` outer iterations, with PER-ITERATION wall
     times recorded so the reconstruction carries an error bar.  Must be
