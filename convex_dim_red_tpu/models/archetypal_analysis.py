@@ -263,7 +263,10 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
     new_cost = cost_fn(Z, alpha, CKZ, ZtZ, CKCt, CX)
     tolerance = jnp.asarray(tolerance, dtype=sdt)
 
-    cost_trace = jnp.zeros((max_iterations,), dtype=sdt)
+    # At least length 1: a zero-size trace cannot be traced through
+    # the loop body's .at[n_iter].set (max_iterations=0 is legal and
+    # must return the initial cost).
+    cost_trace = jnp.zeros((max(int(max_iterations), 1),), dtype=sdt)
     inc_flags = jnp.zeros((3,), dtype=bool)
 
     # Each subproblem decreases its *kernel-space model* of the cost;
@@ -461,6 +464,13 @@ def iterate_kernel_aa(K, weights, dictionary, alpha, delta=0,
             inc_any |= np.asarray(inc_flags)
             n_iter += n_it
             stop = bool(stop)
+        if cost is None:
+            # max_iterations == 0 skips the chunk loop entirely; match
+            # the quiet path (which returns the initial cost) with a
+            # zero-iteration core call so downstream float(cost) works.
+            cost = jax.block_until_ready(core(
+                K, Z, C, alpha, delta_op, tolerance, X,
+                max_iterations=0)[3])
         inc_flags = inc_any
         cost_deltas = (np.concatenate(deltas_parts) if deltas_parts
                        else np.zeros((0,)))

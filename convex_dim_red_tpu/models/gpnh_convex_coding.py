@@ -162,7 +162,10 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
                                 penalty(W), n_samples)
     tolerance = jnp.asarray(tolerance, dtype=sdt)
 
-    cost_trace = jnp.zeros((max_iterations,), dtype=sdt)
+    # At least length 1: a zero-size trace cannot be traced through
+    # the loop body's .at[n_iter].set (max_iterations=0 is legal and
+    # must return the initial cost).
+    cost_trace = jnp.zeros((max(int(max_iterations), 1),), dtype=sdt)
     inc_flags = jnp.zeros((2,), dtype=bool)
 
     # Watchdog threshold floored at the dtype's cost-evaluation
@@ -301,6 +304,12 @@ def iterate_gpnh_convex_coding(X, weights, dictionary, lambda_W=0,
             inc_any |= np.asarray(inc_flags)
             n_iter += n_it
             stop = bool(stop)
+        if cost is None:
+            # max_iterations == 0 skips the chunk loop entirely; match
+            # the quiet path (which returns the initial cost) with a
+            # zero-iteration core call so downstream float(cost) works.
+            cost = jax.block_until_ready(core(
+                X, Z, W, lam_op, tolerance, max_iterations=0)[2])
         inc_flags = inc_any
         cost_deltas = (np.concatenate(deltas_parts) if deltas_parts
                        else np.zeros((0,)))

@@ -173,17 +173,41 @@ def _decode_fixed_calendar(days, y0, m0, d0, calendar):
     return years, months
 
 
+def _decode_julian_calendar(days, y0, m0, d0):
+    """(years, months) for the CF ``julian`` calendar.
+
+    Julian rule: leap year every 4th year, NO Gregorian century
+    exception — so Julian dates drift from Gregorian (13 days in the
+    20th century) and must not be routed through datetime64.  The
+    4-year cycle is exactly 1461 days (years 4c+1..4c+3 have 365,
+    year 4c+4 has 366).
+    """
+    leap0 = int(y0 % 4 == 0 and m0 > 2)
+    base = (365 * (y0 - 1) + (y0 - 1) // 4
+            + int(_NOLEAP_MONTH_STARTS[m0 - 1]) + leap0 + (d0 - 1))
+    abs_days = base + np.floor(days).astype(np.int64)
+    cycle, r = np.divmod(abs_days, 1461)
+    yr_off = np.minimum(r // 365, 3)
+    day_in_year = r - 365 * yr_off
+    years = 4 * cycle + 1 + yr_off
+    starts = np.where((yr_off == 3)[..., None],
+                      _ALLLEAP_MONTH_STARTS, _NOLEAP_MONTH_STARTS)
+    months = (day_in_year[..., None] >= starts).sum(axis=-1)
+    return years, months
+
+
 def decode_cf_time(time_var):
     """Decode a CF-convention time variable to (years, months) arrays.
 
     Handles the unit bases used by HadISST/JRA-55 products, including
     the CF model calendars ``360_day`` / ``noleap`` (``365_day``) /
     ``all_leap`` (``366_day``) via the ``calendar`` attribute
-    (CF conventions §4.4.1; ``standard``/``gregorian``/
-    ``proleptic_gregorian``/``julian`` use the datetime64 proleptic
-    Gregorian path — identical month labels for any post-1582 product).
-    Raw integer/float values with no CF units are passed through as
-    years with month 1.
+    (CF conventions §4.4.1).  ``julian`` gets its own day arithmetic
+    (leap every 4th year, no century exception — datetime64's
+    proleptic Gregorian would mislabel months near boundaries);
+    ``standard``/``gregorian``/``proleptic_gregorian`` use the
+    datetime64 path.  Raw integer/float values with no CF units are
+    passed through as years with month 1.
     """
     data = np.asarray(time_var.data)
     units = time_var.attrs.get("units", "")
@@ -219,6 +243,9 @@ def decode_cf_time(time_var):
     if calendar in _FIXED_CALENDARS:
         return _decode_fixed_calendar(
             data * (seconds_per / 86400.0), y0, m0, int(d0), calendar)
+    if calendar == "julian":
+        return _decode_julian_calendar(
+            data * (seconds_per / 86400.0), y0, m0, int(d0))
     # Real-world calendars: datetime64 (proleptic Gregorian) month
     # arithmetic.  360_day-style base dates (e.g. Feb 30) cannot occur
     # here, so constructing the base datetime is safe.

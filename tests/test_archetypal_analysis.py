@@ -408,3 +408,27 @@ def test_iterate_kernel_aa_verbose_chunked_table(capsys):
     assert last_cost == pytest.approx(float(loud[3]), rel=1e-6)
     # cost_deltas concatenated across chunks match the quiet fit's.
     np.testing.assert_allclose(loud[6], quiet[6], rtol=1e-10, atol=1e-14)
+
+
+def test_iterate_kernel_aa_verbose_zero_iterations(capsys):
+    """max_iterations=0 must return the initial cost (not None) on the
+    verbose path, matching the quiet path — downstream consumers call
+    float(cost) unconditionally."""
+    rng = np.random.RandomState(7)
+    X = rng.uniform(size=(20, 4))
+    K = X @ X.T
+    C = _right_stochastic(rng, (2, 20))
+    Z = _right_stochastic(rng, (20, 2))
+    alpha = np.ones(2)
+
+    quiet = iterate_kernel_aa(K, Z, C, alpha, delta=0,
+                              update_scale_factors=False,
+                              tolerance=1e-9, max_iterations=0)
+    loud = iterate_kernel_aa(K, Z, C, alpha, delta=0,
+                             update_scale_factors=False,
+                             tolerance=1e-9, max_iterations=0, verbose=1)
+    capsys.readouterr()
+    assert quiet[3] is not None and loud[3] is not None
+    assert float(loud[3]) == pytest.approx(float(quiet[3]), rel=1e-12)
+    assert loud[4] == quiet[4] == 0
+    assert len(loud[6]) == 0

@@ -276,3 +276,23 @@ def test_iterate_gpnh_verbose_chunked_table(capsys):
     assert len(rows) == n_iter
     assert any('*** Converged at iteration' in ln for ln in lines)
     np.testing.assert_allclose(loud[5], quiet[5], rtol=1e-10, atol=1e-14)
+
+
+def test_iterate_gpnh_verbose_zero_iterations(capsys):
+    """max_iterations=0 must return the initial cost (not None) on the
+    verbose path, matching the quiet path."""
+    rng = np.random.RandomState(9)
+    X = rng.uniform(size=(20, 4))
+    W = rng.uniform(size=(4, 2))
+    Z = _right_stochastic(rng, (20, 2))
+
+    quiet = iterate_gpnh_convex_coding(
+        X, Z, W, lambda_W=0.1, tolerance=1e-9, max_iterations=0)
+    loud = iterate_gpnh_convex_coding(
+        X, Z, W, lambda_W=0.1, tolerance=1e-9, max_iterations=0,
+        verbose=1)
+    capsys.readouterr()
+    assert quiet[2] is not None and loud[2] is not None
+    assert float(loud[2]) == pytest.approx(float(quiet[2]), rel=1e-12)
+    assert loud[3] == quiet[3] == 0
+    assert len(loud[5]) == 0

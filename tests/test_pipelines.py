@@ -532,6 +532,29 @@ def test_decode_cf_time_fixed_calendars():
     assert (years.tolist(), months.tolist()) == ([2000], [2])
 
 
+def test_decode_cf_time_julian_calendar():
+    """CF julian calendar: leap every 4th year with NO century
+    exception, so 1900 has a Feb 29 (the proleptic-Gregorian datetime64
+    path would mislabel day 59 as March; CF conventions §4.4.1)."""
+    t = Variable(('time',), np.array([0.0, 58.0, 59.0, 60.0, 365.0,
+                                      366.0]),
+                 {'units': 'days since 1900-1-1', 'calendar': 'julian'})
+    years, months = decode_cf_time(t)
+    assert years.tolist() == [1900, 1900, 1900, 1900, 1900, 1901]
+    assert months.tolist() == [1, 2, 2, 3, 12, 1]
+
+    # Non-leap julian year and an hours-unit base mid-month.
+    t = Variable(('time',), np.array([59.0]),
+                 {'units': 'days since 1901-1-1', 'calendar': 'julian'})
+    years, months = decode_cf_time(t)
+    assert (years.tolist(), months.tolist()) == ([1901], [3])
+    t = Variable(('time',), np.array([0.0, 24.0 * 16]),
+                 {'units': 'hours since 1870-1-16', 'calendar': 'julian'})
+    years, months = decode_cf_time(t)
+    assert years.tolist() == [1870, 1870]
+    assert months.tolist() == [1, 2]
+
+
 def test_hadisst_conventions_fixture(tmp_path):
     """End-to-end ingest of a HadISST-conventions-faithful synthetic
     file: ice-flag sentinel -1000.0 (reference run_hadisst_aa.py:22-34),
