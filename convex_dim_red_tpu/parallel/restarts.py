@@ -325,11 +325,26 @@ def _grouped_solver_kwargs(dict_cfg, weights_cfg, scale_cfg):
             _spg_cfg_to_quad_kwargs(scale_cfg))
 
 
-def _prepare_grouped(X, has_data, init):
-    K, diss, data = _prepare_aa_inputs(X, has_data, init)
+def _prepare_grouped(X, has_data, init, K=None):
+    """Runner setup with an optional PRECOMPUTED Gram: the compaction
+    scheduler calls a round runner rounds*chunks times per fit, and
+    re-deriving ``K = X X'`` inside each jitted call would pay ~100
+    GFLOP per call at protocol shape — so it computes the Gram once
+    per fit and passes it in device-resident."""
+    if K is None:
+        K, diss, data = _prepare_aa_inputs(X, has_data, init)
+    else:
+        diss = (dissimilarities_from_kernel(K)
+                if init == 'furthest_sum' else None)
+        data = X if has_data else jnp.zeros((), K.dtype)
     sdt = _scalar_dtype(K.dtype)
     trace_K = None if has_data else jnp.trace(K, dtype=sdt)
     return K, diss, data, trace_K
+
+
+#: One-per-fit Gram for the compaction scheduler, compiled under the
+#: same matmul-precision policy as the round runners.
+_gram_once = apply_matmul_precision(jax.jit(lambda x: x @ x.T))
 
 
 @functools.lru_cache(maxsize=128)
@@ -492,9 +507,10 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
     if fresh:
         @apply_matmul_precision
         @jax.jit
-        def run(X, keys_all, states_all, idx, delta, tolerance,
+        def run(X, gram, keys_all, states_all, idx, delta, tolerance,
                 component_mask=None):
-            K, diss, data, trace_K = _prepare_grouped(X, has_data, init)
+            K, diss, data, trace_K = _prepare_grouped(X, has_data, init,
+                                                      K=gram)
             Zs, Cs, alphas = jax.vmap(functools.partial(
                 _init_aa_state, n_samples=K.shape[0],
                 n_components=n_components, init=init, diss=diss,
@@ -508,8 +524,10 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, states_all, idx, delta, tolerance, component_mask=None):
-        K, diss, data, trace_K = _prepare_grouped(X, has_data, None)
+    def run(X, gram, states_all, idx, delta, tolerance,
+            component_mask=None):
+        K, diss, data, trace_K = _prepare_grouped(X, has_data, None,
+                                                  K=gram)
         Z_all, C_all, a_all = states_all
         Zs, Cs, alphas = Z_all[idx], C_all[idx], a_all[idx]
         return finish(K, data, trace_K, states_all, idx, Zs, Cs,
@@ -518,10 +536,9 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
     return run
 
 
-def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
-                       statics, grouped_backend, restart_chunk,
-                       round_iterations):
-    """Exact-protocol multi-restart AA with convergence compaction.
+def _compacted_best(R, states_all, *, max_iterations, restart_chunk,
+                    round_iterations, make_round_call):
+    """Generic convergence-compaction scheduler over restart populations.
 
     The lockstep restart batch pays for its slowest member: at the
     HadISST protocol the per-chunk max iteration count is ~2.2x the
@@ -538,52 +555,33 @@ def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
     the round cap), so results match the unchunked protocol restart for
     restart — this is a scheduling change, not a model change.
 
-    Returns ``(best, costs, n_iters)`` with the
-    :func:`_keep_best_over_chunks` contract:
-    ``best = (Z, C, alpha, trace, best_cost, best_n_iter)``.
+    ``make_round_call(fresh, M_round)`` returns a callable
+    ``call(states_all, idx) -> (states_all, costs, trace, n_iters,
+    done)`` running one bounded round on the gathered chunk (a jitted
+    gather/advance/scatter program; see
+    :func:`_make_aa_grouped_round_run`).  ``states_all`` is the pytree
+    of fixed-width ``(R, ...)`` population arrays; all state stays on
+    device — the host sees only per-chunk scheduler scalars.  The round
+    programs are keyed by round length alone, so every round of a fit —
+    and every fit in a process — reuses at most two compiled programs
+    (full rounds + one clipped final round).
 
-    All restart states stay on device in fixed-width ``(R, ...)``
-    population arrays; the host sees only per-chunk scheduler scalars
-    (see :func:`_make_aa_grouped_round_run`).  The round programs are
-    keyed by round length alone, so every round of a fit — and every
-    fit in a process — reuses at most two compiled programs (full
-    rounds + one clipped final round).
+    Returns ``(states_all, costs, n_iters, traces, best)`` with
+    ``best`` the argmin-cost restart index and ``traces[i]`` the
+    per-restart concatenable cost-delta segments.
     """
-    R = keys.shape[0]
     chunk = min(int(restart_chunk or R), R)
-    max_iterations = int(statics['max_iterations'])
     M = int(round_iterations)
-    shared = dict(criterion=statics['criterion'],
-                  do_scale=statics['do_scale'],
-                  has_data=statics['has_data'],
-                  dict_cfg=statics['dict_cfg'],
-                  weights_cfg=statics['weights_cfg'],
-                  scale_cfg=statics['scale_cfg'],
-                  weights_backend=grouped_backend)
 
     costs = np.full((R,), np.inf)
     n_iters = np.zeros((R,), np.int64)
     traces = [[] for _ in range(R)]
 
-    n_samples = X.shape[0]
-    k = statics['n_components']
-    dtype = jnp.asarray(X).dtype
-    states_all = (jnp.zeros((R, n_samples, k), dtype),
-                  jnp.zeros((R, k, n_samples), dtype),
-                  jnp.ones((R, k), dtype))
-
     pending = np.arange(R)
     used = 0
     while pending.size and used < max_iterations:
         M_round = min(M, max_iterations - used)
-        if used == 0:
-            runner = _make_aa_grouped_round_run(
-                fresh=True, max_iterations=M_round,
-                n_components=k, init=statics['init'],
-                n_extra_steps=statics['n_extra_steps'], **shared)
-        else:
-            runner = _make_aa_grouped_round_run(
-                fresh=False, max_iterations=M_round, **shared)
+        call = make_round_call(used == 0, M_round)
 
         # Dispatch every chunk of the round before fetching any result:
         # the calls are async, so device work and relay latency overlap.
@@ -596,14 +594,7 @@ def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
                 # trajectory and are skipped below.
                 idx_np = np.resize(idx_np, chunk)
             idx = jnp.asarray(idx_np, jnp.int32)
-            if used == 0:
-                states_all, cs, tr, ni, done = runner(
-                    X, keys, states_all, idx, delta, tolerance,
-                    component_mask)
-            else:
-                states_all, cs, tr, ni, done = runner(
-                    X, states_all, idx, delta, tolerance,
-                    component_mask)
+            states_all, cs, tr, ni, done = call(states_all, idx)
             outs.append((idx_np, (cs, tr, ni, done)))
 
         next_pending = []
@@ -624,12 +615,87 @@ def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
         used += M_round
 
     best = int(np.argmin(costs))
+    return states_all, costs, n_iters, traces, best
+
+
+def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
+                       statics, grouped_backend, restart_chunk,
+                       round_iterations):
+    """Exact-protocol multi-restart AA with convergence compaction
+    (see :func:`_compacted_best` for the scheduler semantics).
+
+    Returns ``(best, costs, n_iters)`` with the
+    :func:`_keep_best_over_chunks` contract:
+    ``best = (Z, C, alpha, trace, best_cost, best_n_iter)``.
+    """
+    R = keys.shape[0]
+    shared = dict(criterion=statics['criterion'],
+                  do_scale=statics['do_scale'],
+                  has_data=statics['has_data'],
+                  dict_cfg=statics['dict_cfg'],
+                  weights_cfg=statics['weights_cfg'],
+                  scale_cfg=statics['scale_cfg'],
+                  weights_backend=grouped_backend)
+
+    n_samples = X.shape[0]
+    k = statics['n_components']
+    X = jnp.asarray(X)
+    dtype = X.dtype
+    # Gram once per fit (advisor round 3): every round-chunk program
+    # takes it device-resident instead of re-deriving X @ X.T.
+    gram = _gram_once(X) if statics['has_data'] else X
+    states_all = (jnp.zeros((R, n_samples, k), dtype),
+                  jnp.zeros((R, k, n_samples), dtype),
+                  jnp.ones((R, k), dtype))
+
+    def make_round_call(fresh, M_round):
+        if fresh:
+            runner = _make_aa_grouped_round_run(
+                fresh=True, max_iterations=M_round,
+                n_components=k, init=statics['init'],
+                n_extra_steps=statics['n_extra_steps'], **shared)
+            return lambda st, idx: runner(X, gram, keys, st, idx, delta,
+                                          tolerance, component_mask)
+        runner = _make_aa_grouped_round_run(
+            fresh=False, max_iterations=M_round, **shared)
+        return lambda st, idx: runner(X, gram, st, idx, delta,
+                                      tolerance, component_mask)
+
+    states_all, costs, n_iters, traces, best = _compacted_best(
+        R, states_all, max_iterations=int(statics['max_iterations']),
+        restart_chunk=restart_chunk, round_iterations=round_iterations,
+        make_round_call=make_round_call)
+
     Z_all, C_all, a_all = states_all
     trace_b = (np.concatenate(traces[best]) if traces[best]
                else np.zeros((0,)))
     best_tuple = (Z_all[best], C_all[best], a_all[best],
                   trace_b, float(costs[best]), int(n_iters[best]))
     return best_tuple, costs, n_iters
+
+
+def _validate_compaction(compact_iterations, mesh, screen_iterations,
+                         grouped):
+    """Shared argument validation for ``compact_iterations`` (AA,
+    KernelAA, and GPNH restart entry points).  Returns the resolved
+    ``grouped`` flag (compaction needs the grouped, state-resumable
+    runners)."""
+    if compact_iterations is None:
+        return grouped
+    if mesh is not None:
+        raise ValueError("compact_iterations requires mesh=None; "
+                         "mesh-sharded fits already balance via "
+                         "per-restart freezing")
+    if screen_iterations is not None:
+        raise ValueError("compact_iterations and screen_iterations "
+                         "are mutually exclusive (compaction is the "
+                         "exact-protocol scheduler, screening the "
+                         "pruning heuristic)")
+    grouped = True if grouped is None else grouped
+    if not grouped:
+        raise ValueError("compact_iterations requires the grouped "
+                         "restart structure (grouped=False given)")
+    return grouped
 
 
 def _grouped_backend(mesh, grouped, weights_cfg, k):
@@ -1004,22 +1070,8 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
                    has_data=True, dict_cfg=dict_cfg,
                    weights_cfg=weights_cfg, scale_cfg=scale_cfg)
 
-    if compact_iterations is not None:
-        # Compaction needs the grouped (state-resumable) runners.
-        if mesh is not None:
-            raise ValueError("compact_iterations requires mesh=None; "
-                             "mesh-sharded fits already balance via "
-                             "per-restart freezing")
-        if screen_iterations is not None:
-            raise ValueError("compact_iterations and screen_iterations "
-                             "are mutually exclusive (compaction is the "
-                             "exact-protocol scheduler, screening the "
-                             "pruning heuristic)")
-        grouped = True if grouped is None else grouped
-        if not grouped:
-            raise ValueError("compact_iterations requires the grouped "
-                             "restart structure (grouped=False given)")
-
+    grouped = _validate_compaction(compact_iterations, mesh,
+                                   screen_iterations, grouped)
     grouped_backend = _grouped_backend(mesh, grouped, weights_cfg, k_fit)
 
     if compact_iterations is not None:
@@ -1083,17 +1135,19 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
                            weights_solver_kwargs=None,
                            scale_factors_solver_kwargs=None,
                            mesh=None, restart_axis='restarts',
-                           restart_chunk=None,
+                           restart_chunk=None, pad_components_to=None,
                            screen_iterations=None, screen_keep=0.25,
-                           grouped=None):
+                           grouped=None, compact_iterations=None):
     """Best-of-``n_init`` kernel AA on a precomputed kernel matrix.
 
     Kernel-space analog of :func:`aa_fit_restarts` for ``KernelAA``
     users (no data matrix; the outer-loop cost uses the kernel trace
     form), including two-phase screened restarts
-    (``screen_iterations``/``screen_keep``, composing with ``mesh``)
-    and the ``grouped`` single-chip restart-batch structure (see
-    :func:`aa_fit_restarts`).  Returns a dict with the best restart's
+    (``screen_iterations``/``screen_keep``, composing with ``mesh``),
+    the ``grouped`` single-chip restart-batch structure, padded-``k``
+    program reuse (``pad_components_to``), and convergence compaction
+    (``compact_iterations``) — all with the semantics documented on
+    :func:`aa_fit_restarts`.  Returns a dict with the best restart's
     ``weights``, ``dictionary``, ``alpha``, ``cost``, ``n_iter``,
     ``cost_deltas``, plus ``costs``/``n_iters`` for every restart.
     """
@@ -1106,7 +1160,10 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
     do_scale = float(delta) != 0.0
     axis_size = 1 if mesh is None else mesh.shape[restart_axis]
 
-    statics = dict(n_components=int(n_components), init=init,
+    k_out = int(n_components)
+    k_fit, component_mask = _padded_components(k_out, pad_components_to)
+
+    statics = dict(n_components=k_fit, init=init,
                    max_iterations=int(max_iterations),
                    n_extra_steps=int(n_extra_steps),
                    criterion=stopping_criterion, do_scale=do_scale,
@@ -1115,12 +1172,19 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
     delta_op = jnp.asarray(delta, K.dtype)
     tol_op = jnp.asarray(tolerance, K.dtype)
 
-    grouped_backend = _grouped_backend(mesh, grouped, weights_cfg,
-                                       int(n_components))
+    grouped = _validate_compaction(compact_iterations, mesh,
+                                   screen_iterations, grouped)
+    grouped_backend = _grouped_backend(mesh, grouped, weights_cfg, k_fit)
 
-    if screen_iterations is not None:
+    if compact_iterations is not None:
+        best, costs, n_iters = _compacted_aa_best(
+            K, keys, delta_op, tol_op, component_mask,
+            statics=statics, grouped_backend=grouped_backend,
+            restart_chunk=restart_chunk,
+            round_iterations=int(compact_iterations))
+    elif screen_iterations is not None:
         best, costs, n_iters = _screened_aa_best(
-            K, keys, delta_op, tol_op, None,
+            K, keys, delta_op, tol_op, component_mask,
             screen_iterations=int(screen_iterations),
             screen_keep=float(screen_keep),
             restart_chunk=restart_chunk, statics=statics,
@@ -1134,13 +1198,15 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
             run = _make_aa_run(mesh, restart_axis, **statics)
 
         def call(chunk, n_valid):
-            return run(K, chunk, delta_op, tol_op, None,
+            return run(K, chunk, delta_op, tol_op, component_mask,
                        jnp.asarray(n_valid, jnp.int32))
 
         best, costs, n_iters = _keep_best_over_chunks(
             call, keys, restart_chunk, axis_size)
 
     Z, C, alpha, trace, best_cost, n_iter_best = best
+    if component_mask is not None:
+        Z, C, alpha = Z[:, :k_out], C[:k_out], alpha[:k_out]
     return {
         'weights': Z,
         'dictionary': C,
@@ -1336,6 +1402,101 @@ def _make_gpnh_grouped_resume_run(*, max_iterations, criterion,
 
 
 @functools.lru_cache(maxsize=128)
+def _make_gpnh_grouped_round_run(*, fresh, max_iterations, criterion,
+                                 weights_cfg, weights_backend,
+                                 n_components, init=None,
+                                 n_extra_steps=None):
+    """One bounded, device-resident compaction round of grouped GPNH
+    restarts — GPNH analog of :func:`_make_aa_grouped_round_run` (see
+    that docstring for the gather/advance/scatter design; the
+    population pytree here is ``(Z_all, W_all)``)."""
+    weights_kwargs = weights_cfg.kwargs()
+
+    def finish(X, states_all, idx, Zs, Ws, lambda_W, tolerance):
+        iterate, cost0 = _gpnh_grouped_iterate(
+            X, lambda_W=lambda_W, weights_backend=weights_backend,
+            weights_kwargs=weights_kwargs, n_components=n_components)
+        states, costs, trace, n_iters, done = _keep_best_loop(
+            (Zs, Ws), cost0(Zs, Ws), iterate, tolerance=tolerance,
+            criterion=criterion, max_iterations=max_iterations)
+        Zs, Ws = states
+        Z_all, W_all = states_all
+        Z_all = Z_all.at[idx].set(Zs)
+        W_all = W_all.at[idx].set(Ws)
+        return (Z_all, W_all), costs, trace, n_iters, done
+
+    if fresh:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, keys_all, states_all, idx, lambda_W, tolerance):
+            diss = (dissimilarities_from_kernel(X @ X.T)
+                    if init == 'furthest_sum' else None)
+            Zs, Ws = jax.vmap(functools.partial(
+                _init_gpnh_state, n_components=n_components, init=init,
+                n_extra_steps=n_extra_steps), in_axes=(0, None, None))(
+                    keys_all[idx], X, diss)
+            return finish(X, states_all, idx, Zs, Ws, lambda_W,
+                          tolerance)
+        return run
+
+    @apply_matmul_precision
+    @jax.jit
+    def run(X, states_all, idx, lambda_W, tolerance):
+        Z_all, W_all = states_all
+        return finish(X, states_all, idx, Z_all[idx], W_all[idx],
+                      lambda_W, tolerance)
+
+    return run
+
+
+def _compacted_gpnh_best(X, keys, lambda_W, tolerance, *, statics,
+                         grouped_backend, restart_chunk,
+                         round_iterations):
+    """Exact-protocol multi-restart GPNH with convergence compaction
+    (scheduler semantics in :func:`_compacted_best`; reference protocol
+    bin/run_hadisst_gpnh.py:149-171 — best-of-n_init to convergence).
+
+    Returns ``(best, costs, n_iters)`` with
+    ``best = (Z, W, trace, best_cost, best_n_iter)``.
+    """
+    R = keys.shape[0]
+    k = statics['n_components']
+    shared = dict(criterion=statics['criterion'],
+                  weights_cfg=statics['weights_cfg'],
+                  weights_backend=grouped_backend,
+                  n_components=k)
+
+    X = jnp.asarray(X)
+    n_samples, n_features = X.shape
+    states_all = (jnp.zeros((R, n_samples, k), X.dtype),
+                  jnp.zeros((R, n_features, k), X.dtype))
+
+    def make_round_call(fresh, M_round):
+        if fresh:
+            runner = _make_gpnh_grouped_round_run(
+                fresh=True, max_iterations=M_round,
+                init=statics['init'],
+                n_extra_steps=statics['n_extra_steps'], **shared)
+            return lambda st, idx: runner(X, keys, st, idx, lambda_W,
+                                          tolerance)
+        runner = _make_gpnh_grouped_round_run(
+            fresh=False, max_iterations=M_round, **shared)
+        return lambda st, idx: runner(X, st, idx, lambda_W, tolerance)
+
+    states_all, costs, n_iters, traces, best = _compacted_best(
+        R, states_all, max_iterations=int(statics['max_iterations']),
+        restart_chunk=restart_chunk, round_iterations=round_iterations,
+        make_round_call=make_round_call)
+
+    Z_all, W_all = states_all
+    trace_b = (np.concatenate(traces[best]) if traces[best]
+               else np.zeros((0,)))
+    best_tuple = (Z_all[best], W_all[best], trace_b,
+                  float(costs[best]), int(n_iters[best]))
+    return best_tuple, costs, n_iters
+
+
+@functools.lru_cache(maxsize=128)
 def _make_gpnh_run(mesh, restart_axis, *, n_components, init,
                    max_iterations, n_extra_steps, criterion, weights_cfg):
     """GPNH analog of :func:`_make_aa_run` (same runtime-``n_valid``
@@ -1495,7 +1656,7 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
                       mesh=None, restart_axis='restarts',
                       restart_chunk=None,
                       screen_iterations=None, screen_keep=0.25,
-                      grouped=None):
+                      grouped=None, compact_iterations=None):
     """Best-of-``n_init`` GPNH convex coding, fully on device.
 
     Vmapped analog of the reference drivers' serial keep-best loop for
@@ -1505,9 +1666,13 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
     execution-watchdog guard; see :func:`_keep_best_over_chunks`).
     ``screen_iterations``/``screen_keep`` enable two-phase screened
     restarts exactly as in :func:`aa_fit_restarts` (compose with
-    ``mesh``), and ``grouped`` selects the single-chip grouped restart
-    structure (weights QP batched across restarts; see
-    :func:`aa_fit_restarts`).  Returns a dict with the best restart's
+    ``mesh``), ``grouped`` selects the single-chip grouped restart
+    structure (weights QP batched across restarts), and
+    ``compact_iterations`` enables convergence compaction — bounded
+    rounds with converged restarts retiring and survivors re-packed
+    into dense chunks; exact protocol semantics, scheduling change
+    only (see :func:`aa_fit_restarts` /
+    :func:`_compacted_best`).  Returns a dict with the best restart's
     ``weights``, ``dictionary``, ``cost``, ``n_iter``, ``cost_deltas``
     plus the full ``costs``/``n_iters`` arrays.
     """
@@ -1524,10 +1689,23 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
     lam_op = jnp.asarray(lambda_W, X.dtype)
     tol_op = jnp.asarray(tolerance, X.dtype)
 
+    grouped = _validate_compaction(compact_iterations, mesh,
+                                   screen_iterations, grouped)
     grouped_backend = _grouped_backend(mesh, grouped, weights_cfg,
                                        int(n_components))
 
-    if screen_iterations is not None:
+    if compact_iterations is not None:
+        statics = dict(n_components=int(n_components), init=init,
+                       max_iterations=int(max_iterations),
+                       n_extra_steps=int(n_extra_steps),
+                       criterion=stopping_criterion,
+                       weights_cfg=weights_cfg)
+        best, costs, n_iters = _compacted_gpnh_best(
+            X, keys, lam_op, tol_op, statics=statics,
+            grouped_backend=grouped_backend,
+            restart_chunk=restart_chunk,
+            round_iterations=int(compact_iterations))
+    elif screen_iterations is not None:
         if grouped_backend is not None:
             screen = _make_gpnh_grouped_screen_run(
                 n_components=int(n_components), init=init,

@@ -174,6 +174,68 @@ def test_compacted_aa_matches_grouped_single_call():
                                rtol=1e-8, atol=1e-12)
 
 
+def test_compacted_gpnh_matches_grouped_single_call():
+    """GPNH compaction parity (reference protocol applies to GPNH too,
+    bin/run_hadisst_gpnh.py:149-171): per-restart costs, iteration
+    counts, winner, and the winner's trace equal the one-shot grouped
+    run."""
+    X = _planted(np.random.RandomState(8))
+    key = jax.random.PRNGKey(8)
+    kwargs = dict(lambda_W=0.01, tolerance=1e-10, max_iterations=300,
+                  grouped=True)
+    plain = gpnh_fit_restarts(X, 3, key, n_init=9, **kwargs)
+    compact = gpnh_fit_restarts(X, 3, key, n_init=9, restart_chunk=4,
+                                compact_iterations=20, **kwargs)
+    assert np.allclose(np.asarray(plain['costs']),
+                       np.asarray(compact['costs']), rtol=1e-10)
+    assert np.array_equal(np.asarray(plain['n_iters']),
+                          np.asarray(compact['n_iters']))
+    assert plain['best_index'] == compact['best_index']
+    assert compact['cost'] == pytest.approx(plain['cost'], rel=1e-12)
+    assert compact['n_iter'] == plain['n_iter']
+    np.testing.assert_allclose(compact['cost_deltas'],
+                               plain['cost_deltas'],
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(compact['weights']),
+                               np.asarray(plain['weights']),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_compacted_kernel_aa_matches_grouped_single_call():
+    """KernelAA compaction parity against the one-shot grouped run
+    (kernel trace-form cost; same scheduler as AA/GPNH)."""
+    X = _planted(np.random.RandomState(9))
+    K = X @ X.T
+    key = jax.random.PRNGKey(9)
+    kwargs = dict(tolerance=1e-10, max_iterations=300, grouped=True)
+    plain = kernel_aa_fit_restarts(K, 3, key, n_init=6, **kwargs)
+    compact = kernel_aa_fit_restarts(K, 3, key, n_init=6,
+                                     restart_chunk=4,
+                                     compact_iterations=25, **kwargs)
+    assert np.allclose(np.asarray(plain['costs']),
+                       np.asarray(compact['costs']), rtol=1e-10)
+    assert np.array_equal(np.asarray(plain['n_iters']),
+                          np.asarray(compact['n_iters']))
+    assert plain['best_index'] == compact['best_index']
+    assert compact['cost'] == pytest.approx(plain['cost'], rel=1e-12)
+
+
+def test_kernel_aa_padded_components():
+    """pad_components_to on the kernel entry point: result is exactly a
+    k-component model (padded components pinned to zero weight), same
+    contract as the AA path."""
+    X = _planted(np.random.RandomState(10))
+    K = X @ X.T
+    key = jax.random.PRNGKey(10)
+    res = kernel_aa_fit_restarts(K, 3, key, n_init=4, tolerance=1e-10,
+                                 max_iterations=300,
+                                 pad_components_to=5, grouped=True)
+    assert res['weights'].shape == (64, 3)
+    assert res['dictionary'].shape == (3, 64)
+    assert np.allclose(np.asarray(res['weights']).sum(1), 1, atol=1e-12)
+    assert np.isfinite(res['cost'])
+
+
 def test_compacted_aa_respects_iteration_cap_and_validations():
     X = _planted(np.random.RandomState(3))
     key = jax.random.PRNGKey(1)
