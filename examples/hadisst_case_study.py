@@ -156,6 +156,7 @@ def write_figures(out_dir):
 
     for product, var, title in [
             ("hadisst_aa.nc", "archetypes", "Archetype"),
+            ("hadisst_gpnh.nc", "dictionary", "GPNH state"),
             ("hadisst_kmeans.nc", "centroids", "Centroid"),
             ("hadisst_pca.nc", "EOFs", "EOF")]:
         ds = open_dataset(os.path.join(out_dir, product))

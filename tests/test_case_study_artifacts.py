@@ -22,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 EXPECTED_FIGURES = [
     "hadisst_aa_patterns.png",
+    "hadisst_gpnh_patterns.png",
     "hadisst_kmeans_patterns.png",
     "hadisst_pca_patterns.png",
     "mds_hull.png",
