@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.vma import vma_of
+
 __all__ = ["quad_simplex_qp_pallas", "quad_simplex_qp_pallas_grouped",
            "quad_simplex_qp_pallas_packed",
            "quad_simplex_qp_pallas_packed_grouped"]
@@ -263,7 +265,12 @@ def quad_simplex_qp_pallas(A, B, X0, max_iterations=1000, alpha0=-1.0,
         ],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, LANES), dtype,
+            # shard_map(check_vma=True) requires an explicit vma
+            # on pallas outputs; the solution varies exactly over
+            # the operands' manual axes (no collectives inside).
+            vma=frozenset(vma_of(A_p, B_p, X0_p, M_p))),
         scratch_shapes=[
             pltpu.VMEM((block_rows, LANES), dtype),  # X
             pltpu.VMEM((block_rows, LANES), dtype),  # AX
@@ -332,7 +339,9 @@ def quad_simplex_qp_pallas_grouped(As, Bs, X0s, max_iterations=1000,
         out_specs=pl.BlockSpec((1, block_rows, LANES),
                                lambda r, i: (r, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, n_pad, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (R, n_pad, LANES), dtype,
+            vma=frozenset(vma_of(A_p, B_p, X0_p, M_p))),
         scratch_shapes=[
             pltpu.VMEM((block_rows, LANES), dtype),  # X
             pltpu.VMEM((block_rows, LANES), dtype),  # AX
@@ -582,7 +591,9 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
         ],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (rows_pad, LANES), dtype,
+            vma=frozenset(vma_of(A_blk, B, X0, S, M_in))),
         scratch_shapes=[
             pltpu.VMEM((block_rows, LANES), dtype),
             pltpu.VMEM((block_rows, LANES), dtype),
@@ -671,7 +682,9 @@ def quad_simplex_qp_pallas_packed_grouped(As, Bs, X0s,
         out_specs=pl.BlockSpec((1, block_rows, LANES),
                                lambda r, i: (r, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, rows_pad, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (R, rows_pad, LANES), dtype,
+            vma=frozenset(vma_of(A_blk, Bs, X0s, S, M_in))),
         scratch_shapes=[
             pltpu.VMEM((block_rows, LANES), dtype),
             pltpu.VMEM((block_rows, LANES), dtype),

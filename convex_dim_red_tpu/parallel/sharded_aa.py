@@ -43,9 +43,22 @@ from ..ops.simplex_projection import simplex_project_rows
 from ..solvers.spg import (quad_spg, quad_simplex_spg_batch_grouped,
                            resolve_qp_backend)
 from ..utils.precision import apply_matmul_precision
+from ..utils.vma import pvary_like
 
 __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
            "sharded_kernel_aa_fit", "sharded_gpnh_fit"]
+
+#: Static varying-manual-axes checking for every shard_map in this
+#: module (round-3 verdict item 9).  The sharding specs are verified
+#: statically: psum/pmin outputs are typed invariant, per-shard values
+#: varying, and an out_spec claiming replication of a varying value is
+#: a trace-time error (see utils/vma.py for the carry-promotion
+#: helper).  Tests running the grouped Pallas QP in INTERPRET mode
+#: flip this off: the pallas HLO interpreter itself trips the vma
+#: rules on its internal block slicing (JAX suggests check_vma=False
+#: as the workaround for exactly this); the compiled Mosaic path is
+#: unaffected.
+CHECK_VMA = True
 
 
 
@@ -128,7 +141,18 @@ def _aa_pre_weights(X_loc, K_loc, Z_loc, C, alpha, *, delta, do_scale,
     # --- dictionary update (distributed quad_spg; parity with
     # update_kernel_aa_dictionary) ---
     KZD_loc = KZ_loc * alpha[None, :]
-    B = jax.lax.all_gather(KZD_loc, sample_axis, tiled=True).T / n_samples
+    # Assemble the full (n, k) KZD by psum-of-scattered-blocks rather
+    # than all_gather: numerically identical (zeros elsewhere), but
+    # psum output is typed INVARIANT over the sample axis, which the
+    # static vma checker needs — the dictionary iterate stays
+    # replicated within each sample group and the final best-C output
+    # can be claimed P() (all_gather output stays typed varying).
+    KZD_full = jax.lax.psum(
+        jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros((n_samples, KZD_loc.shape[1]), KZD_loc.dtype),
+            KZD_loc, shard * n_loc, axis=0),
+        sample_axis)
+    B = KZD_full.T / n_samples
     DZtZD = (alpha[:, None] * ZtZ) * alpha[None, :]
 
     def matvec(Cm):
@@ -264,6 +288,11 @@ def _keep_best_loop(states, cost0, iterate_batch, *, tolerance, criterion,
 
     init = (tuple(states), cost0, jnp.asarray(0, jnp.int32), done0,
             trace, n_iters)
+    # vma promotion for shard_map(check_vma=CHECK_VMA): the scheduler
+    # constants (iteration counter, done flags, traces) inherit the
+    # restart axis' varying type from cost0 in the loop body.  No-op
+    # outside shard_map (see utils/vma.py).
+    init = (init[0], cost0) + pvary_like(init[2:], cost0)
     states, cost, it, done, trace, n_iters = jax.lax.while_loop(
         cond, body, init)
     return states, cost, trace, n_iters, done
@@ -280,9 +309,17 @@ def _select_best(states, costs, trace, n_iters, *, n_valid, restart_axis):
 
     local_best = jnp.argmin(masked)
     local_cost = masked[local_best]
-    all_costs = jax.lax.all_gather(local_cost, restart_axis)
-    winner = jnp.argmin(all_costs)
-    is_winner = (r_group == winner)
+    # Cross-mesh argmin via pmin reductions (outputs typed invariant
+    # over the restart axis — an all_gather + argmin computes the same
+    # winner but stays typed varying, failing the static vma check on
+    # the replicated P() outputs).  Ties break to the lowest restart
+    # group, matching argmin-over-gather semantics.
+    best_cost = jax.lax.pmin(local_cost, restart_axis)
+    winner_group = jax.lax.pmin(
+        jnp.where(local_cost == best_cost, r_group,
+                  jnp.iinfo(jnp.int32).max),
+        restart_axis)
+    is_winner = (r_group == winner_group)
 
     def pick(arr):
         cand = arr[local_best]
@@ -292,7 +329,6 @@ def _select_best(states, costs, trace, n_iters, *, n_valid, restart_axis):
     best_states = tuple(pick(s) for s in states)
     best_trace = pick(trace)
     best_n_iter = pick(n_iters)
-    best_cost = all_costs[winner]
     return best_states, best_cost, best_n_iter, best_trace
 
 
@@ -342,7 +378,7 @@ def sharded_aa_train_step(mesh, X, Zs, Cs, alphas, *, delta=0.0,
                    P(restart_axis, None, None),
                    P(restart_axis, None),
                    P(restart_axis)),
-        check_vma=False)
+        check_vma=CHECK_VMA)
     def step(X_loc, Zs_loc, Cs_loc, alphas_loc):
         X_full = jax.lax.all_gather(X_loc, sample_axis, tiled=True)
         K_loc = X_loc @ X_full.T
@@ -407,7 +443,7 @@ def sharded_aa_fit(mesh, X, Zs, Cs, alphas, *, delta=0.0, tolerance=1e-6,
                    P(),                    # best cost-delta trace
                    P(restart_axis),        # all costs
                    P(restart_axis)),       # all n_iters
-        check_vma=False)
+        check_vma=CHECK_VMA)
     def fit(X_loc, Zs_loc, Cs_loc, alphas_loc):
         X_full = jax.lax.all_gather(X_loc, sample_axis, tiled=True)
         K_loc = X_loc @ X_full.T
@@ -494,7 +530,7 @@ def sharded_kernel_aa_fit(mesh, K, Zs, Cs, alphas, *, delta=0.0,
                    P(),                    # best cost-delta trace
                    P(restart_axis),        # all costs
                    P(restart_axis)),       # all n_iters
-        check_vma=False)
+        check_vma=CHECK_VMA)
     def fit(K_loc, Zs_loc, Cs_loc, alphas_loc):
         n_loc = K_loc.shape[0]
         shard = jax.lax.axis_index(sample_axis)
@@ -573,7 +609,7 @@ def sharded_gpnh_fit(mesh, X, Zs, Ws, *, lambda_W=0.0, tolerance=1e-6,
                    P(),                    # best trace
                    P(restart_axis),        # all costs
                    P(restart_axis)),       # all n_iters
-        check_vma=False)
+        check_vma=CHECK_VMA)
     def fit(X_loc, Zs_loc, Ws_loc):
         n_loc, d = X_loc.shape
         k = Ws_loc.shape[2]

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.vma import pvary_like
 from ..ops.simplex_projection import (simplex_project_masked,
                                       simplex_project_vector)
 from ..utils.precision import apply_matmul_precision
@@ -461,6 +462,11 @@ def quad_spg(matvec, B, x0, project, alpha0=-1.0,
 
     init = (x, Hx, alpha, jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    # Under shard_map(check_vma=True) the fresh-constant carry entries
+    # must be promoted to the operands' varying axes — the loop body's
+    # outputs inherit them, and while_loop requires carry types (vma
+    # included) to match.  No-op outside shard_map.
+    init = pvary_like(init, x, Hx, B)
     x, Hx, alpha, n_iter, stall_count, done = jax.lax.while_loop(
         cond, body, init)
     # The incremental updates x += lam*d preserve feasibility only up to

@@ -630,6 +630,11 @@ def test_sharded_fits_pallas_weights_match_xla(monkeypatch):
 
     monkeypatch.setattr(sa, 'quad_simplex_spg_batch_grouped',
                         grouped_interpret)
+    # The pallas HLO INTERPRETER (CPU stand-in) trips check_vma on its
+    # own internal block slicing — a JAX limitation with check_vma=False
+    # as the suggested workaround; the compiled Mosaic path and the XLA
+    # backend keep the static check (sharded_aa.CHECK_VMA default).
+    monkeypatch.setattr(sa, 'CHECK_VMA', False)
 
     rng = np.random.RandomState(13)
     n, k, R = 32, 3, 4
@@ -739,6 +744,11 @@ def test_sharded_train_step_pallas_backend_matches_xla(monkeypatch):
 
     monkeypatch.setattr(sa, 'quad_simplex_spg_batch_grouped',
                         grouped_interpret)
+    # The pallas HLO INTERPRETER (CPU stand-in) trips check_vma on its
+    # own internal block slicing — a JAX limitation with check_vma=False
+    # as the suggested workaround; the compiled Mosaic path and the XLA
+    # backend keep the static check (sharded_aa.CHECK_VMA default).
+    monkeypatch.setattr(sa, 'CHECK_VMA', False)
 
     rng = np.random.RandomState(17)
     n, k, R = 16, 2, 4
