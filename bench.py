@@ -55,9 +55,23 @@ TOL = 1e-5
 MAX_ITER = 500
 CRITERION = 'rel_delta_f'
 DICT_MAX_ITERATIONS = 1   # reference HadISST protocol (run_hadisst_aa.py:165)
-BASELINE_CAP_ITERS = 10
-BASELINE_RUNS = 2
-PROTOCOL = "hadisst_reference_protocol_v3_dict1_var"
+BASELINE_CAP_ITERS = 13
+BASELINE_BURN_IN = 3
+BASELINE_RUNS = 4
+PROTOCOL = "hadisst_reference_protocol_v4_dict1_tail"
+# Convergence-compaction round length for the headline run: the repo's
+# best measured protocol config.  After the Gram-once fix, short rounds
+# win (benchmarks/compact_round_ab.json: 25x32 12.26 s vs one-shot
+# grouped 18.88 s, 1.54x); round 3's 25x96 optimum was an artifact of
+# every round-chunk program re-deriving the 6-pass f32 Gram.
+# Cost note: the compacted run reports 3810.59 vs the one-shot's
+# 3809.54 — BOTH are true costs of their winning restarts (f64 host
+# audit agrees to 4 decimals); the f32 trajectories differ through
+# Gram bit-patterns, and the same one-shot config itself drifted
+# 3809.318 (r03) -> 3809.545 (r04) with no code change, so the
+# third-decimal cost is compiler-run sensitive at this protocol
+# (stopping resolution rel 1e-5 ~ 0.04 absolute per restart).
+COMPACT_ITERS = 32
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
@@ -75,18 +89,28 @@ def make_data(dtype):
 def measure_baseline():
     """Measure the NumPy-baseline Gram + per-outer-iteration time.
 
-    Protocol v3 (stronger than v2's single 3-iteration run):
-    ``BASELINE_RUNS``
-    independent restarts (distinct seeds), each capped at
-    ``BASELINE_CAP_ITERS`` outer iterations, with PER-ITERATION wall
-    times recorded so the reconstruction carries an error bar.  Must be
-    run on an idle host (1 core; concurrent load inflates the numbers).
+    Protocol v4: ``BASELINE_RUNS`` independent restarts (distinct
+    seeds), each capped at ``BASELINE_CAP_ITERS`` outer iterations with
+    per-iteration wall times recorded; the first ``BASELINE_BURN_IN``
+    iterations of every run are DISCARDED before aggregating.  The
+    per-iteration cost decays strongly from a cold start (v3 measured
+    9.2 s -> 1.5 s within one run: early QP solves start far from any
+    fixed point and burn their iteration caps), so a head-inclusive
+    mean over-charges the baseline — the ~168-iteration protocol runs
+    overwhelmingly in the warm regime the tail represents.  The
+    headline uses a 10%-trimmed mean of the pooled tail samples; the
+    reported interval is the tail's [q10, q90] SPREAD (these samples
+    trend and are autocorrelated — they are not i.i.d., so no CI is
+    claimed), and ``per_iter_seconds_min`` (fastest observed iteration
+    anywhere, burn-in included) remains the conservative bound.  Must
+    be run on an idle host (1 core; concurrent load inflates all of
+    it).
     """
     from benchmarks.numpy_baseline import aa_fit_numpy
     X = make_data(np.float64)
 
     gram_times = []
-    for _ in range(BASELINE_RUNS):
+    for _ in range(2):
         t0 = time.perf_counter()
         K_gram = X @ X.T
         gram_times.append(time.perf_counter() - t0)
@@ -94,6 +118,7 @@ def measure_baseline():
 
     runs = []
     all_iter_times = []
+    tail_times = []
     for seed in range(BASELINE_RUNS):
         iter_times = []
         t0 = time.perf_counter()
@@ -102,31 +127,38 @@ def measure_baseline():
             max_iterations=BASELINE_CAP_ITERS,
             dict_iterations=DICT_MAX_ITERATIONS,
             stopping_criterion=CRITERION, iter_times=iter_times)
+        tail = iter_times[BASELINE_BURN_IN:]
         runs.append({
             "seed": seed,
             "capped_run_seconds": time.perf_counter() - t0,
             "capped_iters": int(n_iter),
             "cost_at_cap": float(cost),
             "iter_times": [round(t, 3) for t in iter_times],
-            "per_iter_mean": float(np.mean(iter_times)),
-            "per_iter_std": float(np.std(iter_times)),
+            "per_iter_tail_mean": float(np.mean(tail)),
+            "per_iter_tail_std": float(np.std(tail)),
         })
         all_iter_times.extend(iter_times)
+        tail_times.extend(tail)
 
-    per_iter = float(np.mean(all_iter_times))
-    per_iter_std = float(np.std(all_iter_times))
+    tail_sorted = np.sort(np.asarray(tail_times))
+    trim = max(1, int(0.1 * tail_sorted.size))
+    trimmed = tail_sorted[trim:-trim]
+    per_iter = float(np.mean(trimmed))
     return {
         "protocol": PROTOCOL,
         "baseline": "vectorized numpy float64 "
                     "(benchmarks/numpy_baseline.py)",
         "method": ("gram_seconds + n_init * mean_outer_iters * "
-                   "per_iter_seconds; per-iteration time measured over "
-                   "%d independent runs x %d capped outer iterations "
-                   "(full convergence infeasible on the 1-core host: "
-                   "~%.0f s/outer iteration); per_iter_seconds_std is "
-                   "the pooled per-iteration std, per_iter_seconds_min "
-                   "the fastest observed iteration (conservative bound)"
-                   % (BASELINE_RUNS, BASELINE_CAP_ITERS, per_iter)),
+                   "per_iter_seconds; per-iteration time over %d "
+                   "independent runs x %d capped outer iterations with "
+                   "the first %d iterations of each run discarded "
+                   "(cold-start decay) and a 10%%-trimmed mean of the "
+                   "pooled tail; per_iter_seconds_spread is the tail's "
+                   "[q10, q90] (a spread, not a CI — samples trend and "
+                   "are autocorrelated), per_iter_seconds_min the "
+                   "fastest observed iteration (conservative bound)"
+                   % (BASELINE_RUNS, BASELINE_CAP_ITERS,
+                      BASELINE_BURN_IN)),
         "workload": {"n_samples": N_SAMPLES, "n_features": N_FEATURES,
                      "k": K, "n_init": N_INIT, "tolerance": TOL,
                      "max_iterations": MAX_ITER,
@@ -134,7 +166,10 @@ def measure_baseline():
         "gram_seconds": float(np.mean(gram_times)),
         "gram_seconds_all": gram_times,
         "per_iter_seconds": per_iter,
-        "per_iter_seconds_std": per_iter_std,
+        "per_iter_seconds_std": float(np.std(tail_sorted)),
+        "per_iter_seconds_spread": [
+            float(np.quantile(tail_sorted, 0.1)),
+            float(np.quantile(tail_sorted, 0.9))],
         "per_iter_seconds_min": float(np.min(all_iter_times)),
         "runs": runs,
         "host_cpus": os.cpu_count(),
@@ -221,8 +256,12 @@ def main():
             weights_solver_kwargs={'max_iterations': 1000,
                                    'backend': backend},
             # Bounded device executions (TPU execution watchdog);
-            # keep-best semantics identical across chunks.
-            restart_chunk=25)
+            # keep-best semantics identical across chunks.  Convergence
+            # compaction re-packs unconverged restarts into dense
+            # chunks each round — exact protocol semantics, and the
+            # repo's best measured headline config
+            # (benchmarks/grouped_headline_ab.json).
+            restart_chunk=25, compact_iterations=COMPACT_ITERS)
 
     # Warm-up: compile.  Prefer the fused Pallas weights kernel
     # (exercises the production kernel) with an XLA fallback if a
@@ -269,18 +308,16 @@ def main():
     baseline_seconds = (baseline["gram_seconds"]
                         + N_INIT * mean_iters
                         * baseline["per_iter_seconds"])
-    # Error bar on the reconstruction (protocol v3: pooled per-iteration
-    # std over >=2 independent capped runs) and a conservative bound
-    # (fastest observed baseline iteration).
-    per_iter_std = baseline.get("per_iter_seconds_std")
+    # Interval on the reconstruction (protocol v4: the post-burn-in
+    # per-iteration [q10, q90] SPREAD — not a CI, the samples trend)
+    # and a conservative bound (fastest observed baseline iteration).
+    spread = baseline.get("per_iter_seconds_spread")
     baseline_seconds_lo = baseline_seconds_hi = baseline_conservative = None
-    if per_iter_std is not None:
-        n_meas = sum(len(r["iter_times"]) for r in baseline.get("runs", []))
-        sem = per_iter_std / max(np.sqrt(n_meas), 1.0)
+    if spread is not None:
         baseline_seconds_lo = (baseline["gram_seconds"] + N_INIT * mean_iters
-                               * (baseline["per_iter_seconds"] - 2 * sem))
+                               * spread[0])
         baseline_seconds_hi = (baseline["gram_seconds"] + N_INIT * mean_iters
-                               * (baseline["per_iter_seconds"] + 2 * sem))
+                               * spread[1])
         baseline_conservative = (baseline["gram_seconds"]
                                  + N_INIT * mean_iters
                                  * baseline["per_iter_seconds_min"])
@@ -312,9 +349,10 @@ def main():
             "compile_plus_first_run_s": round(compile_and_run, 2),
             "baseline_seconds_reconstructed": round(baseline_seconds, 2),
             "baseline_per_iter_s": round(baseline["per_iter_seconds"], 3),
-            "baseline_per_iter_s_std": (
-                round(per_iter_std, 3) if per_iter_std is not None else None),
-            "vs_baseline_ci95": (
+            "baseline_per_iter_s_spread": (
+                [round(s, 3) for s in spread]
+                if spread is not None else None),
+            "vs_baseline_spread": (
                 [round(baseline_seconds_lo / elapsed, 2),
                  round(baseline_seconds_hi / elapsed, 2)]
                 if baseline_seconds_lo is not None else None),
