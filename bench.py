@@ -144,6 +144,11 @@ def measure_baseline():
     trim = max(1, int(0.1 * tail_sorted.size))
     trimmed = tail_sorted[trim:-trim]
     per_iter = float(np.mean(trimmed))
+    # Cross-run dispersion of the tail mean: the per-iteration spread is
+    # wide because iterations alternate fast/slow (bimodal), but the
+    # run-level means are tight — this is the honest uncertainty on the
+    # reconstruction's per_iter factor.
+    run_means = [r["per_iter_tail_mean"] for r in runs]
     return {
         "protocol": PROTOCOL,
         "baseline": "vectorized numpy float64 "
@@ -171,6 +176,9 @@ def measure_baseline():
             float(np.quantile(tail_sorted, 0.1)),
             float(np.quantile(tail_sorted, 0.9))],
         "per_iter_seconds_min": float(np.min(all_iter_times)),
+        "per_iter_run_tail_means": [float(m) for m in run_means],
+        "per_iter_run_means_mean": float(np.mean(run_means)),
+        "per_iter_run_means_std": float(np.std(run_means, ddof=1)),
         "runs": runs,
         "host_cpus": os.cpu_count(),
     }
