@@ -65,6 +65,7 @@ def test_reconstruction_rmse_zero_for_exact():
     assert reconstruction_rmse(W @ P, W, P) < 1e-12
 
 
+@pytest.mark.slow
 def test_embed_states_shapes():
     rng = np.random.RandomState(4)
     W = rng.rand(30, 3)
@@ -75,6 +76,7 @@ def test_embed_states_shapes():
         embed_states(W, method='umap')
 
 
+@pytest.mark.slow
 def test_aa_sweep_costs_decrease_with_k():
     rng = np.random.RandomState(5)
     basis = rng.standard_normal((4, 8))
@@ -95,6 +97,7 @@ def test_aa_sweep_costs_decrease_with_k():
     assert costs[2] < 0.01
 
 
+@pytest.mark.slow
 def test_kmeans_sweep_gap_columns():
     rng = np.random.RandomState(6)
     X = np.concatenate([c + 0.3 * rng.standard_normal((30, 2))
@@ -105,6 +108,7 @@ def test_kmeans_sweep_gap_columns():
     assert results[2]['gap'] > results[1]['gap']
 
 
+@pytest.mark.slow
 def test_kmeans_sweep_on_mesh_matches_single_device():
     from convex_dim_red_tpu.parallel.mesh import create_mesh
 
@@ -128,6 +132,7 @@ def test_kmeans_sweep_on_mesh_matches_single_device():
                                                      rel=1e-8)
 
 
+@pytest.mark.slow
 def test_sweep_checkpoint_resume(tmp_path):
     """checkpoint_dir makes sweeps resumable: completed ks load from
     disk, new ks compute with the same PRNG threading as an
@@ -169,6 +174,7 @@ def test_sweep_checkpoint_resume(tmp_path):
     assert changed[2]['costs'].shape == (2,)  # recomputed, not loaded
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     from convex_dim_red_tpu import KernelAA
 

@@ -98,6 +98,7 @@ def test_exact_solution_is_dictionary_update_fixed_point():
     assert np.allclose(C_new, C, atol=tolerance)
 
 
+@pytest.mark.slow
 def test_repeated_dictionary_updates_converge_with_zero_delta():
     rng = np.random.RandomState(0)
     n_features, n_components, n_samples = 20, 15, 600
@@ -125,6 +126,7 @@ def test_repeated_dictionary_updates_converge_with_zero_delta():
     assert np.allclose(np.asarray(C_new).sum(axis=1), 1, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_repeated_dictionary_updates_converge_with_nonzero_delta():
     rng = np.random.RandomState(0)
     n_features, n_components, n_samples = 20, 15, 600
@@ -304,6 +306,7 @@ def test_finds_elements_of_3_point_convex_hull():
     assert main_components == sorted(assignments.tolist())
 
 
+@pytest.mark.slow
 def test_finds_elements_of_4_point_convex_hull():
     rng = np.random.RandomState(0)
     n_samples, n_components = 123, 4
@@ -338,6 +341,7 @@ def test_finds_elements_of_4_point_convex_hull():
     assert main_components == sorted(assignments.tolist())
 
 
+@pytest.mark.slow
 def test_full_fit_with_furthest_sum_init_and_scale_relaxation():
     """End-to-end data-space AA with delta != 0 and furthest-sum init."""
     from convex_dim_red_tpu.models.archetypal_analysis import (
@@ -365,6 +369,7 @@ def test_full_fit_with_furthest_sum_init_and_scale_relaxation():
     assert np.isfinite(cost)
 
 
+@pytest.mark.slow
 def test_iterate_kernel_aa_verbose_chunked_table(capsys):
     """verbose=1 must render the reference-format table (Iteration |
     Cost | Cost delta | Time, archetypal_analysis.py:442-447) WITHOUT

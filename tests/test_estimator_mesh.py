@@ -45,6 +45,7 @@ def test_ensure_mesh_axes_lifts_1d_meshes():
         ensure_mesh_axes(create_mesh(shape=(8,), axis_names=("data",)))
 
 
+@pytest.mark.slow
 def test_kernel_aa_estimator_mesh_matches_single_device():
     rng = np.random.RandomState(3)
     n, k = 32, 3
@@ -71,6 +72,7 @@ def test_kernel_aa_estimator_mesh_matches_single_device():
     assert len(est_m.cost_deltas) == est_m.n_iter
 
 
+@pytest.mark.slow
 def test_kernel_aa_estimator_mesh_delta_keeps_raw_dictionary():
     rng = np.random.RandomState(4)
     n, k = 32, 3
@@ -93,6 +95,7 @@ def test_kernel_aa_estimator_mesh_delta_keeps_raw_dictionary():
     assert (a >= 0.8 - 1e-12).all() and (a <= 1.2 + 1e-12).all()
 
 
+@pytest.mark.slow
 def test_archetypal_analysis_estimator_mesh_matches_single_device():
     rng = np.random.RandomState(5)
     n, k = 32, 3
@@ -121,6 +124,7 @@ def test_archetypal_analysis_estimator_mesh_matches_single_device():
     assert np.allclose(np.asarray(w), np.asarray(w0), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_archetypal_analysis_estimator_mesh_delta_scales_dictionary():
     rng = np.random.RandomState(6)
     n, k = 32, 2
@@ -138,6 +142,7 @@ def test_archetypal_analysis_estimator_mesh_delta_scales_dictionary():
                        atol=1e-8)
 
 
+@pytest.mark.slow
 def test_gpnh_estimator_mesh_matches_single_device():
     rng = np.random.RandomState(7)
     n, k, d = 32, 3, 5
@@ -160,6 +165,7 @@ def test_gpnh_estimator_mesh_matches_single_device():
                        np.asarray(est_0.dictionary), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_kmeans_estimator_mesh_matches_single_device():
     rng = np.random.RandomState(8)
     X = np.concatenate([rng.standard_normal((16, 4)) + mu
@@ -207,6 +213,7 @@ def test_pca_estimator_mesh_matches_gram_path():
     assert np.allclose(np.asarray(X_rec), np.asarray(X_rec0), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_through_sharded_estimator(tmp_path):
     """A checkpoint written mid-fit warm-starts a sharded fit via
     init='custom' + mesh= (the sharded analog of the single-device

@@ -206,6 +206,7 @@ def test_repeated_weights_updates_converge():
     assert np.allclose(np.asarray(Z_new).sum(axis=1), 1, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_full_fit_recovers_planted_factorization_cost():
     rng = np.random.RandomState(2)
     n_features, n_components, n_samples = 8, 4, 200

@@ -27,6 +27,7 @@ def _planted(rng, n_samples=64, n_components=3, n_features=6):
     return Z @ basis
 
 
+@pytest.mark.slow
 def test_grouped_aa_matches_vmapped():
     X = _planted(np.random.RandomState(0))
     key = jax.random.PRNGKey(0)
@@ -45,6 +46,7 @@ def test_grouped_aa_matches_vmapped():
                        atol=1e-12)
 
 
+@pytest.mark.slow
 def test_grouped_aa_with_scale_factors():
     X = _planted(np.random.RandomState(1))
     key = jax.random.PRNGKey(1)
@@ -55,6 +57,7 @@ def test_grouped_aa_with_scale_factors():
                        np.asarray(grouped['costs']), rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_grouped_aa_screened():
     X = _planted(np.random.RandomState(2))
     key = jax.random.PRNGKey(2)
@@ -67,6 +70,7 @@ def test_grouped_aa_screened():
                        np.asarray(grouped['costs']), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_grouped_aa_padded_components():
     X = _planted(np.random.RandomState(3))
     key = jax.random.PRNGKey(3)
@@ -79,6 +83,7 @@ def test_grouped_aa_padded_components():
     assert np.allclose(np.asarray(res['weights']).sum(1), 1, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_grouped_kernel_aa_matches_vmapped():
     X = _planted(np.random.RandomState(4))
     K = X @ X.T
@@ -106,6 +111,7 @@ def test_grouped_gpnh_matches_vmapped():
                                   np.asarray(grouped['n_iters']))
 
 
+@pytest.mark.slow
 def test_grouped_gpnh_screened():
     X = _planted(np.random.RandomState(6))
     key = jax.random.PRNGKey(6)
@@ -147,6 +153,7 @@ def test_grouped_auto_is_legacy_on_cpu():
     assert _grouped_backend(mesh, None, cfg, 3) is None
 
 
+@pytest.mark.slow
 def test_compacted_aa_matches_grouped_single_call():
     """Convergence compaction is a pure scheduling change: per-restart
     costs, iteration counts, the winner, and the winner's cost-delta
@@ -201,6 +208,7 @@ def test_compacted_gpnh_matches_grouped_single_call():
                                rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_compacted_kernel_aa_matches_grouped_single_call():
     """KernelAA compaction parity against the one-shot grouped run
     (kernel trace-form cost; same scheduler as AA/GPNH)."""
@@ -220,6 +228,7 @@ def test_compacted_kernel_aa_matches_grouped_single_call():
     assert compact['cost'] == pytest.approx(plain['cost'], rel=1e-12)
 
 
+@pytest.mark.slow
 def test_kernel_aa_padded_components():
     """pad_components_to on the kernel entry point: result is exactly a
     k-component model (padded components pinned to zero weight), same
@@ -236,6 +245,7 @@ def test_kernel_aa_padded_components():
     assert np.isfinite(res['cost'])
 
 
+@pytest.mark.slow
 def test_compacted_aa_respects_iteration_cap_and_validations():
     X = _planted(np.random.RandomState(3))
     key = jax.random.PRNGKey(1)

@@ -91,6 +91,7 @@ def test_kmeans_plusplus_selects_spread_centroids():
     assert dists.min() > 5.0
 
 
+@pytest.mark.slow
 def test_gap_statistic_prefers_true_k():
     rng = np.random.RandomState(4)
     X = _blobs(rng, n_per=40)

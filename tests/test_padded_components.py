@@ -64,6 +64,7 @@ def _padded_qp(rng, k, k_pad, n_rows=7):
     return A, B, X0, A_pad, B_pad, X0_pad
 
 
+@pytest.mark.slow
 def test_masked_qp_batch_matches_unpadded_solve():
     """The masked batched QP must follow the identical iterate sequence
     as the unpadded solve on the active block, regardless of the
@@ -151,6 +152,7 @@ def test_padded_core_trajectory_equals_unpadded():
     assert np.allclose(C_p[k:], C0_pad[k:], atol=1e-15)
 
 
+@pytest.mark.slow
 def test_aa_fit_restarts_padded_reaches_planted_solution():
     rng = np.random.RandomState(5)
     X = _planted(rng)
@@ -164,6 +166,7 @@ def test_aa_fit_restarts_padded_reaches_planted_solution():
     assert res['cost'] < 1e-6  # planted problem: exact recovery
 
 
+@pytest.mark.slow
 def test_sweep_bucketing_matches_per_k_quality():
     """Bucketed sweep costs must match per-k-compiled sweep costs to
     random-restart noise (identical keys => identical active inits =>
@@ -189,6 +192,7 @@ def test_sweep_bucketing_matches_per_k_quality():
     assert costs[0] > costs[1]
 
 
+@pytest.mark.slow
 def test_screened_restarts_reach_planted_solution():
     """Two-phase screened restarts (screen -> prune -> resume) must
     recover the planted factorization and report coherent per-restart
@@ -208,6 +212,7 @@ def test_screened_restarts_reach_planted_solution():
     assert np.allclose(np.asarray(res['weights']).sum(1), 1, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_screened_restarts_match_unscreened_winner():
     """With screen_keep=1.0 every restart survives; the screened run
     must find the same optimum as the unscreened run."""
@@ -223,6 +228,7 @@ def test_screened_restarts_match_unscreened_winner():
     assert screened['best_index'] == full['best_index']
 
 
+@pytest.mark.slow
 def test_screened_restarts_on_mesh_match_unsharded():
     """Screened restarts compose with mesh=: both phases shard over the
     restart axis, and same keys -> same screening costs, survivors, and
@@ -258,6 +264,7 @@ def test_screened_restarts_on_mesh_match_unsharded():
                                              abs=1e-8)
 
 
+@pytest.mark.slow
 def test_gpnh_screened_restarts_match_and_shard():
     """GPNH screened restarts (screen -> prune -> resume) reach the
     planted optimum and compose with mesh= like the AA path."""
@@ -306,6 +313,7 @@ def test_exact_multiple_k_gets_all_true_mask():
     assert (k_fit, mask) == (5, None)
 
 
+@pytest.mark.slow
 def test_pallas_backend_masked_matches_xla():
     """Masked (bucketed) QPs run fused on the Pallas path too (round-2:
     the silent XLA fallback is gone); masked pallas must agree with the
@@ -325,6 +333,7 @@ def test_pallas_backend_masked_matches_xla():
     assert np.allclose(out, ref, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_screened_restarts_compose_with_padding():
     """Screening + component padding together (the bucketed-sweep fast
     path, benchmarks/config5_screened_ab.py): padded components stay

@@ -23,7 +23,11 @@ def _obj(X, A, B):
             + np.sum(X * B, axis=1))
 
 
-@pytest.mark.parametrize("n,k", [(32, 3), (70, 6), (16, 11)])
+@pytest.mark.parametrize("n,k", [
+    pytest.param(32, 3, marks=pytest.mark.slow),
+    pytest.param(70, 6, marks=pytest.mark.slow),
+    (16, 11),
+])
 def test_pallas_matches_xla_objective(n, k):
     rng = np.random.RandomState(0)
     A, B, X0 = _problem(rng, n, k)
@@ -69,6 +73,7 @@ def test_pallas_rejects_oversized_k():
 
 
 @pytest.mark.parametrize("R,n,k", [(3, 32, 4), (5, 21, 6)])
+@pytest.mark.slow
 def test_grouped_matches_per_group_solves(R, n, k):
     """The grouped kernel (one Hessian per grid group) must match
     solving each group separately with the single-Hessian kernel and
@@ -96,6 +101,7 @@ def test_grouped_matches_per_group_solves(R, n, k):
         assert np.allclose(Xg[r].sum(axis=1), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grouped_masked_matches_masked_xla():
     from convex_dim_red_tpu.ops.pallas_qp import (
         quad_simplex_qp_pallas_grouped)
@@ -120,6 +126,7 @@ def test_grouped_masked_matches_masked_xla():
 
 
 @pytest.mark.parametrize("R,n,k", [(3, 33, 4), (4, 21, 6), (2, 18, 11)])
+@pytest.mark.slow
 def test_grouped_packed_matches_per_group_solves(R, n, k):
     """The grouped lane-packed kernel must match the single-group
     packed kernel per group and the XLA objective."""
@@ -166,7 +173,12 @@ def test_grouped_dispatch_picks_packed_for_small_k(monkeypatch):
     assert np.asarray(out).shape == (1, 16, 4)
 
 
-@pytest.mark.parametrize("n,k", [(33, 3), (70, 6), (20, 11), (16, 33)])
+@pytest.mark.parametrize("n,k", [
+    (33, 3),
+    pytest.param(70, 6, marks=pytest.mark.slow),
+    pytest.param(20, 11, marks=pytest.mark.slow),
+    pytest.param(16, 33, marks=pytest.mark.slow),
+])
 def test_packed_matches_xla_objective(n, k):
     from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas_packed
     rng = np.random.RandomState(3)
@@ -182,6 +194,7 @@ def test_packed_matches_xla_objective(n, k):
     assert np.abs(gap).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_packed_padding_does_not_leak():
     from convex_dim_red_tpu.ops.pallas_qp import quad_simplex_qp_pallas_packed
     rng = np.random.RandomState(4)
@@ -193,7 +206,10 @@ def test_packed_padding_does_not_leak():
     assert np.allclose(X_full[:9], X_sub, atol=1e-7)
 
 
-@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("packed", [
+    pytest.param(False, marks=pytest.mark.slow),
+    True,
+])
 def test_pallas_masked_matches_masked_xla(packed):
     """Runtime component masks (padded-k bucketing) in both kernel
     variants: masked lanes pinned to exact zero, active block matching

@@ -27,6 +27,7 @@ def test_eight_cpu_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_vmapped_restarts_beat_single_fit():
     rng = np.random.RandomState(0)
     X, idx = _planted(rng)
@@ -42,6 +43,7 @@ def test_vmapped_restarts_beat_single_fit():
     assert result['cost'] < 1e-6
 
 
+@pytest.mark.slow
 def test_restarts_on_mesh_match_unsharded():
     rng = np.random.RandomState(1)
     X, _ = _planted(rng)
@@ -104,6 +106,7 @@ def test_sharded_aa_train_step_matches_single_device_math():
         assert abs(after - costs[r]) < 1e-8
 
 
+@pytest.mark.slow
 def test_sharded_step_invariant_to_mesh_shape():
     rng = np.random.RandomState(4)
     n, k, d, R = 16, 2, 4, 2
@@ -133,6 +136,7 @@ def test_sharded_step_invariant_to_mesh_shape():
         assert np.allclose(costs, outs[0][2], atol=1e-10)
 
 
+@pytest.mark.slow
 def test_kernel_aa_fit_restarts_matches_data_space():
     from convex_dim_red_tpu.parallel.restarts import kernel_aa_fit_restarts
     rng = np.random.RandomState(9)
@@ -148,6 +152,7 @@ def test_kernel_aa_fit_restarts_matches_data_space():
     assert got == sorted(idx.tolist())
 
 
+@pytest.mark.slow
 def test_kernel_aa_screened_restarts_reach_planted_solution():
     from convex_dim_red_tpu.parallel.restarts import kernel_aa_fit_restarts
     rng = np.random.RandomState(9)
@@ -166,6 +171,7 @@ def test_kernel_aa_screened_restarts_reach_planted_solution():
     assert got == sorted(idx.tolist())
 
 
+@pytest.mark.slow
 def test_aa_fit_restarts_chunking_matches_single_call():
     rng = np.random.RandomState(10)
     X, _ = _planted(rng)
@@ -219,6 +225,7 @@ def _unsharded_aa_fit(X, Zs, Cs, alphas, *, delta, tolerance,
     return outs
 
 
+@pytest.mark.slow
 def test_sharded_aa_fit_matches_single_device_trajectory():
     from convex_dim_red_tpu.parallel.sharded_aa import sharded_aa_fit
 
@@ -262,6 +269,7 @@ def test_sharded_aa_fit_matches_single_device_trajectory():
                        atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_aa_fit_updates_alpha_with_delta():
     from convex_dim_red_tpu.parallel.sharded_aa import sharded_aa_fit
 
@@ -297,6 +305,7 @@ def test_sharded_aa_fit_updates_alpha_with_delta():
                        rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_gpnh_fit_matches_single_device():
     from convex_dim_red_tpu.models._common import QPSolverConfig
     from convex_dim_red_tpu.models.gpnh_convex_coding import _gpnh_core
@@ -370,6 +379,7 @@ def test_restart_sharding_is_structural():
         "expected cross-restart collectives in the compiled module"
 
 
+@pytest.mark.slow
 def test_mesh_restarts_fewer_than_axis_size():
     """Regression: n_init smaller than the mesh restart axis needs a
     pad larger than the batch itself; _pad_keys must tile, not slice
@@ -408,6 +418,7 @@ def test_sharded_fit_rejects_unknown_backend():
                        weights_solver_kwargs={'backend': 'numba'})
 
 
+@pytest.mark.slow
 def test_mesh_partial_final_chunk_masks_pad_restarts():
     """Runtime n_valid (round-2 fix): a final partial chunk is tiled up
     to the mesh axis size but its pad restarts must be excluded from
@@ -434,6 +445,7 @@ def test_mesh_partial_final_chunk_masks_pad_restarts():
     assert chunked['best_index'] == full['best_index']
 
 
+@pytest.mark.slow
 def test_gpnh_restart_chunk_equivalence():
     """GPNH restart chunking (round-2 TPU-watchdog guard) must keep
     identical keep-best semantics to the single-execution run."""
@@ -453,6 +465,7 @@ def test_gpnh_restart_chunk_equivalence():
     assert chunked['best_index'] == full['best_index']
 
 
+@pytest.mark.slow
 def test_mesh_with_padded_components_matches_unsharded():
     """Padded-k bucketing composed with mesh sharding: the component
     mask rides shard_map as a replicated runtime operand."""
@@ -472,6 +485,7 @@ def test_mesh_with_padded_components_matches_unsharded():
     assert sharded['best_index'] == plain['best_index']
 
 
+@pytest.mark.slow
 def test_gpnh_mesh_with_restart_chunk():
     """GPNH chunking composed with mesh sharding: chunks are padded to
     the restart axis and pad restarts masked by the runtime n_valid."""
@@ -493,6 +507,7 @@ def test_gpnh_mesh_with_restart_chunk():
     assert chunked['best_index'] == full['best_index']
 
 
+@pytest.mark.slow
 def test_sharded_kmeans_matches_single_device():
     from convex_dim_red_tpu.models.kmeans import kmeans_fit
     from convex_dim_red_tpu.parallel.sharded_models import sharded_kmeans_fit
@@ -522,6 +537,7 @@ def test_sharded_kmeans_matches_single_device():
         float(np.asarray(res['inertias']).min()), rel=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_kmeans_random_init():
     from convex_dim_red_tpu.models.kmeans import kmeans_fit
     from convex_dim_red_tpu.parallel.sharded_models import sharded_kmeans_fit
@@ -577,6 +593,7 @@ def test_sharded_pca_matches_dense_svd():
                        atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_gap_statistic_matches_single_device():
     from convex_dim_red_tpu.models.kmeans import gap_statistic
     from convex_dim_red_tpu.parallel.sharded_models import (
@@ -599,6 +616,7 @@ def test_sharded_gap_statistic_matches_single_device():
         assert sk == pytest.approx(sk0, rel=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_fits_pallas_weights_match_xla(monkeypatch):
     """backend='pallas' in the sharded fits routes the restart-batched
     weights QPs through the grouped fused kernel (interpret mode here)
@@ -675,6 +693,7 @@ def test_sharded_fits_pallas_weights_match_xla(monkeypatch):
     assert abs(float(gres_p['cost']) - float(gres_x['cost'])) < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_kernel_aa_fit_matches_data_space():
     from convex_dim_red_tpu.parallel.sharded_aa import (
         sharded_aa_fit, sharded_kernel_aa_fit)
@@ -716,6 +735,7 @@ def test_sharded_kernel_aa_fit_matches_data_space():
     assert (a >= 0.9 - 1e-12).all() and (a <= 1.1 + 1e-12).all()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_pallas_backend_matches_xla(monkeypatch):
     """weights_backend='pallas' on sharded_aa_train_step routes the
     restart-batched weight QPs through the grouped fused kernel and
@@ -813,6 +833,7 @@ def test_hybrid_mesh_groups_slices_on_restart_axis():
         create_hybrid_mesh(slice_groups=[devices[:4], devices[:4]])
 
 
+@pytest.mark.slow
 def test_sharded_aa_fit_on_hybrid_mesh_matches_flat_mesh():
     """The SPMD fit must be numerically invariant to whether its mesh
     came from create_mesh or the multi-slice-aware constructor."""

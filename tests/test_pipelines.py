@@ -205,6 +205,7 @@ def _run_driver(name, synthetic_anomalies, tmpdir, extra):
     return open_dataset(out)
 
 
+@pytest.mark.slow
 def test_hadisst_aa_driver_end_to_end(synthetic_anomalies, tmp_path):
     ds = _run_driver("hadisst_aa", synthetic_anomalies, tmp_path,
                      ["--n-components", "3", "--n-init", "4",
@@ -225,6 +226,7 @@ def test_hadisst_aa_driver_end_to_end(synthetic_anomalies, tmp_path):
         assert attr in ds.attrs, attr
 
 
+@pytest.mark.slow
 def test_hadisst_kmeans_driver_end_to_end(synthetic_anomalies, tmp_path):
     ds = _run_driver("hadisst_kmeans", synthetic_anomalies, tmp_path,
                      ["--n-components", "2", "--n-init", "3",
@@ -238,6 +240,7 @@ def test_hadisst_kmeans_driver_end_to_end(synthetic_anomalies, tmp_path):
         assert attr in ds.attrs
 
 
+@pytest.mark.slow
 def test_hadisst_kmeans_driver_cross_validate(synthetic_anomalies,
                                               tmp_path):
     # CV branch + init/tolerance flag parity (reference
@@ -257,6 +260,7 @@ def test_hadisst_kmeans_driver_cross_validate(synthetic_anomalies,
     assert ds.attrs['n_folds'] == '3'
 
 
+@pytest.mark.slow
 def test_hadisst_gpnh_driver_end_to_end(synthetic_anomalies, tmp_path):
     ds = _run_driver("hadisst_gpnh", synthetic_anomalies, tmp_path,
                      ["--n-components", "2", "--n-init", "2",
@@ -291,6 +295,7 @@ def synthetic_jra55(tmp_path_factory):
     return grid, pcs
 
 
+@pytest.mark.slow
 def test_jra55_kmeans_driver_end_to_end(synthetic_jra55, tmp_path):
     grid, _ = synthetic_jra55
     ds = _run_driver("jra55_kmeans", grid, tmp_path,
@@ -312,6 +317,7 @@ def test_jra55_pca_aa_driver_end_to_end(synthetic_jra55, tmp_path):
     assert ds['archetypes'].data.shape[0] == 3
 
 
+@pytest.mark.slow
 def test_jra55_pca_gpnh_driver_end_to_end(synthetic_jra55, tmp_path):
     _, pcs = synthetic_jra55
     ds = _run_driver("jra55_pca_gpnh", pcs, tmp_path,
@@ -352,6 +358,7 @@ def test_hadisst_pca_driver_end_to_end(synthetic_anomalies, tmp_path):
     assert 0 < ds['explained_variance_ratio'].data.sum() <= 1.0 + 1e-9
 
 
+@pytest.mark.slow
 def test_jra55_pca_feeds_pc_drivers(synthetic_jra55, tmp_path):
     # End-to-end EOF path from gridded data: jra55_pca produces the PCs
     # netCDF, jra55_pca_aa consumes it (the chain the reference runs
@@ -371,6 +378,7 @@ def test_jra55_pca_feeds_pc_drivers(synthetic_jra55, tmp_path):
     assert ds['archetypes'].data.shape == (2, 6)
 
 
+@pytest.mark.slow
 def test_jra55_pca_kmeans_driver_end_to_end(synthetic_jra55, tmp_path):
     _, pcs = synthetic_jra55
     ds = _run_driver("jra55_pca_kmeans", pcs, tmp_path,
@@ -380,6 +388,7 @@ def test_jra55_pca_kmeans_driver_end_to_end(synthetic_jra55, tmp_path):
     assert 'gap_statistic' in ds.attrs
 
 
+@pytest.mark.slow
 def test_pc_driver_restrict_to_base_period(synthetic_jra55, tmp_path):
     # Reference PC drivers restrict the PCs to the EOFs' climatology
     # period via the eofs_{start,end}_year attrs and echo it as
@@ -466,6 +475,7 @@ def test_aa_transform_threads_configured_backend(monkeypatch):
     assert captured['backend'] == 'xla'
 
 
+@pytest.mark.slow
 def test_aa_analysis_cross_validate_attrs():
     """AA CV branch: held-out-fold stats recorded under the reference's
     'training_set_*' attr names (deliberate quirk; see cli/common.py) and

@@ -33,6 +33,7 @@ def test_scope_applies_policy_at_trace_time():
     assert seen['val'] == 'float32'
 
 
+@pytest.mark.slow
 def test_set_matmul_precision_roundtrip_retraces():
     captured = []
 
