@@ -152,21 +152,46 @@ def _attach_measured_baselines(report):
 
 
 def main():
-    report = {"device": str(jax.devices()[0])}
-    for name, fn in [("config1", config1_synthetic_aa),
-                     ("config2", config2_kmeans),
-                     ("config3", config3_headline),
-                     ("config4", config4_pca_gpnh),
-                     ("config5", config5_sweep)]:
+    configs = [("config1", config1_synthetic_aa),
+               ("config2", config2_kmeans),
+               ("config3", config3_headline),
+               ("config4", config4_pca_gpnh),
+               ("config5", config5_sweep)]
+    selected = set(sys.argv[1:])
+    if selected:
+        unknown = selected - {name for name, _ in configs}
+        if unknown:
+            raise SystemExit(f"unknown configs: {sorted(unknown)}")
+        configs = [(n, f) for n, f in configs if n in selected]
+
+    # Merge into the existing report: re-running a subset must not drop
+    # the other configs, and re-running a config must preserve any
+    # attached A/B sub-results (e.g. config5's screened_ab) that other
+    # benchmark scripts recorded under the same key.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+    report = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+    report["device"] = str(jax.devices()[0])
+
+    for name, fn in configs:
         try:
-            report[name] = fn()
+            fresh = fn()
         except Exception as exc:  # keep the suite running
-            report[name] = {"error": repr(exc)}
+            fresh = {"error": repr(exc)}
+        prev = report.get(name)
+        if isinstance(prev, dict) and isinstance(fresh, dict):
+            # Only A/B attachments survive a re-run; anything else from
+            # the previous run would be stale alongside fresh timings.
+            for key in ("screened_ab", "pallas_backend_ab"):
+                if key in prev and key not in fresh:
+                    fresh[key] = prev[key]
+        report[name] = fresh
         print(json.dumps({name: report[name]}), flush=True)
     _attach_measured_baselines(report)
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
 
