@@ -81,6 +81,19 @@ COMPACT_ITERS = 32
 # (bin/run_jra55_pca_aa.py:119-120 caps weights at max_iterations=1);
 # block-coordinate descent warm-starts the next outer step regardless.
 WEIGHTS_MAX_ITERATIONS = 25
+# Matmul precision for the HEADLINE RUN ONLY (the library default
+# stays 'float32' — utils/precision.py).  benchmarks/precision_ab.json:
+# at protocol scale the n=1788 Gram-sized matmuls are MXU-throughput-
+# bound, so 3-pass bf16 ('tensorfloat32') cuts the fit 12.63 -> 9.62 s
+# warm (1.31x) at the SAME iteration count (165.8 vs 165.0) — the
+# "wall-clock is dominated by iteration count" note in
+# utils/precision.py is about small-k planted problems, not this
+# regime.  Quality is audited, not assumed: the winner's factors are
+# re-costed on host in float64 every run (cost_f64_audit below);
+# measured audit 3809.479 (tf32) vs 3809.944 ('float32') — the tf32
+# trajectory lands a genuinely BETTER point, and the device-reported
+# cost agrees with the audit to ~0.02.
+HEADLINE_MATMUL_PRECISION = 'tensorfloat32'
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
@@ -240,13 +253,30 @@ def measure_gram_throughput(X, reps=100, precision='float32'):
     return gram_flops(N_SAMPLES, N_FEATURES) / seconds, seconds
 
 
+def audit_cost_f64(result, X32):
+    """Recompute the winning restart's cost on host in float64.
+
+    Guards the reduced-precision headline: the device cost is computed
+    under HEADLINE_MATMUL_PRECISION, so it could in principle be biased
+    by matmul noise; the audit re-costs the returned factors exactly
+    (reference cost definition, archetypal_analysis.py:556 analog).
+    """
+    X64 = np.asarray(X32, np.float64)
+    Z = np.asarray(result['weights'], np.float64)
+    D = np.asarray(result['dictionary'], np.float64)
+    resid = Z @ (D @ X64) - X64
+    return 0.5 * float(np.sum(resid * resid)) / X64.shape[0]
+
+
 def main():
     import jax
     from convex_dim_red_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from convex_dim_red_tpu.utils.precision import set_matmul_precision
     from convex_dim_red_tpu.parallel.restarts import aa_fit_restarts
     from benchmarks.flops import (aa_outer_iteration_flops, gram_flops,
                                   peak_flops_bf16)
+    set_matmul_precision(HEADLINE_MATMUL_PRECISION)
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -260,7 +290,8 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline, f, indent=2)
 
-    X = jax.device_put(make_data(np.float32))
+    X_host = make_data(np.float32)
+    X = jax.device_put(X_host)
     jax.block_until_ready(X)
 
     def run(backend):
@@ -361,6 +392,8 @@ def main():
         "vs_baseline": round(baseline_seconds / elapsed, 2),
         "extra": {
             "cost": result["cost"],
+            "cost_f64_audit": round(audit_cost_f64(result, X_host), 4),
+            "matmul_precision": HEADLINE_MATMUL_PRECISION,
             "n_iter_best": result["n_iter"],
             "mean_outer_iters": round(mean_iters, 1),
             "compile_plus_first_run_s": round(compile_and_run, 2),
@@ -380,6 +413,8 @@ def main():
             "restart_iterations_per_second": round(total_iters / elapsed, 1),
             "screened_seconds": round(screened_elapsed, 4),
             "screened_cost": screened["cost"],
+            "screened_cost_f64_audit": round(
+                audit_cost_f64(screened, X_host), 4),
             "screened_vs_baseline": round(
                 baseline_seconds / screened_elapsed, 2),
             # None values flag an invalid two-point-slope measurement

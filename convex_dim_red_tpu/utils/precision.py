@@ -23,6 +23,16 @@ the matmul units, but these workloads' per-iteration matmuls are small
 (k x n x n with k <= ~20) and latency/HBM-bound, so wall-clock is
 dominated by iteration *count* — which 'float32' halves.
 
+The middle tier, 'tensorfloat32' (3-pass bfloat16 on TPU), behaves
+differently at PROTOCOL scale (n=1788 Gram-sized matmuls, which are
+MXU-throughput-bound): measured at the headline workload it converges
+in the same number of outer iterations as 'float32', runs 1.31x
+faster, and its winner's float64-audited cost is as good or better
+(benchmarks/precision_ab.json — bench.py opts down to it per-run and
+re-costs the returned factors in float64 as a guard).  The library
+default stays 'float32' because the small-problem regime above and the
+reference-tolerance test paths do need the full six passes.
+
 Accuracy is therefore the library default: every public entry point
 traces its matmuls under ``jax.default_matmul_precision('float32')``.
 Speed-hungry users can opt down globally::
