@@ -17,18 +17,19 @@ on TPU.
 Baseline: the same algorithm, same protocol, fully vectorized in NumPy
 float64 (benchmarks/numpy_baseline.py — at least as fast as the
 reference's threaded Numba kernels; numba is unavailable in this
-image).  A full 100-restart baseline run is infeasible on this 1-core
-host (hours), so the baseline is *measured* as Gram time +
-per-outer-iteration time over a short capped run, and the total is
-reconstructed as ``n_init * mean_outer_iterations * per_iter + gram``
-using the iteration counts of the TPU run (same algorithm, same
-tolerance; the reference recomputes the Gram per restart —
-bin/run_hadisst_aa.py:158 creates a fresh model per restart and
-archetypal_analysis.py:1032 recomputes the kernel per fit — so
-charging the Gram once is conservative).  Measurements are cached in
-BASELINE_MEASURED.json.  For fully *measured* end-to-end baseline
-comparisons (no reconstruction) see benchmarks/measure_baselines.py
-and the vs_baseline_measured columns in benchmarks/results.json.
+image).  The headline denominator is MEASURED end-to-end
+(benchmarks/measure_config3_e2e.py): full runs to tolerance over
+several independent seeds x restarts on an idle host, scaled linearly
+over the independent restart axis (a full 100-restart serial run would
+take ~11 h on this 1-core host; restarts are independent by
+construction, reference bin/run_hadisst_aa.py:158-174, so linear
+scaling is exact in expectation).  The older reconstructed estimate
+(Gram time + n_init * mean_outer_iterations * per-iteration tail
+time) is retained as ``vs_baseline_reconstructed`` for continuity
+with rounds 1-4.  Measurements are cached in BASELINE_MEASURED.json.
+For the other configs' measured end-to-end baselines see
+benchmarks/measure_baselines.py and the vs_baseline_measured columns
+in benchmarks/results.json.
 
 Also reported (BASELINE.md metric): structural alternating-update
 GFLOP/s with MFU vs the chip's bf16 peak (benchmarks/flops.py — a
@@ -77,9 +78,15 @@ COMPACT_ITERS = 32
 # outer-iteration counts identical, 12.2-13.0 s); cap 25 trades ~3%
 # wall (12.62 vs 12.20 s warm) for a better final cost (3809.94 vs
 # 3810.59 — the cap perturbs the f32 trajectory, same lottery as the
-# Gram bit-pattern note above).  The reference ships the same knob
-# (bin/run_jra55_pca_aa.py:119-120 caps weights at max_iterations=1);
-# block-coordinate descent warm-starts the next outer step regardless.
+# Gram bit-pattern note above).  DISCLOSED DEVIATION from the HadISST
+# reference protocol: the reference's hadisst driver caps only the
+# dictionary and leaves weights at the library default 1000
+# (bin/run_hadisst_aa.py:165; the max_iterations=1 weights cap is its
+# jra55 protocol, bin/run_jra55_pca_aa.py:119-120), so the knob itself
+# is a reference pattern but not this config's — validated by
+# qp_cap_ab.json and by the per-run float64 re-cost audit below; the
+# value is recorded in the output workload dict for provenance.
+# Block-coordinate descent warm-starts the next outer step regardless.
 WEIGHTS_MAX_ITERATIONS = 25
 # Matmul precision for the HEADLINE RUN ONLY (the library default
 # stays 'float32' — utils/precision.py).  benchmarks/precision_ab.json:
@@ -356,6 +363,14 @@ def main():
     baseline_seconds = (baseline["gram_seconds"]
                         + N_INIT * mean_iters
                         * baseline["per_iter_seconds"])
+    # MEASURED end-to-end denominator (benchmarks/measure_config3_e2e.py):
+    # full NumPy runs to tolerance, scaled linearly over the independent
+    # restart axis.  When present it is the headline's primary
+    # vs_baseline (no reconstruction); the reconstructed number stays in
+    # extras for continuity with rounds 1-4.
+    e2e = baseline.get("measured_end_to_end")
+    baseline_seconds_measured = (e2e["protocol_seconds_100_restarts"]
+                                 if e2e else None)
     # Interval on the reconstruction (protocol v4: the post-burn-in
     # per-iteration [q10, q90] SPREAD — not a CI, the samples trend)
     # and a conservative bound (fastest observed baseline iteration).
@@ -389,8 +404,22 @@ def main():
         "metric": "hadisst_protocol_aa_best100_time_to_tol",
         "value": round(elapsed, 4),
         "unit": "s",
-        "vs_baseline": round(baseline_seconds / elapsed, 2),
+        "vs_baseline": round(
+            (baseline_seconds_measured if baseline_seconds_measured
+             else baseline_seconds) / elapsed, 2),
         "extra": {
+            "vs_baseline_measured": (
+                round(baseline_seconds_measured / elapsed, 2)
+                if baseline_seconds_measured else None),
+            "baseline_seconds_measured_e2e": (
+                round(baseline_seconds_measured, 1)
+                if baseline_seconds_measured else None),
+            "baseline_measured_seed_rel_spread": (
+                round(e2e["seed_mean_rel_spread"], 3) if e2e else None),
+            "baseline_measured_mean_outer_iters": (
+                round(e2e["mean_outer_iters"], 1) if e2e else None),
+            "vs_baseline_reconstructed": round(
+                baseline_seconds / elapsed, 2),
             "cost": result["cost"],
             "cost_f64_audit": round(audit_cost_f64(result, X_host), 4),
             "matmul_precision": HEADLINE_MATMUL_PRECISION,
@@ -437,7 +466,10 @@ def main():
                 if peak and gram_flops_per_s else None),
             "device": str(jax.devices()[0]),
             "weights_backend": backend,
-            "workload": baseline.get("workload"),
+            "workload": {**(baseline.get("workload") or {}),
+                         "weights_max_iterations": WEIGHTS_MAX_ITERATIONS,
+                         "compact_iterations": COMPACT_ITERS,
+                         "restart_chunk": 25},
         },
     }
     print(json.dumps(out))

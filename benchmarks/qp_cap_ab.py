@@ -1,22 +1,26 @@
 #!/usr/bin/env python
 """A/B: weights-QP inner-iteration cap at the headline protocol.
 
-benchmarks/profile_breakdown.json shows the grouped weights QP is 66%
-of a WARM chunk-iteration (4.31 of 6.52 ms) — yet 6.52 ms x ~700
-chunk-iterations accounts for only ~5 s of the 12.3 s headline.  The
-gap is the COLD phase: early outer iterations start the row QPs far
-from any fixed point, so they burn toward the 1000-iteration inner cap
-while warm ones exit in tens of iterations.  Block-coordinate descent
-does not need exact inner solves — the next outer iteration warm-starts
-from the returned Z — so capping the inner loop trades wasted early
-inner iterations for (possibly) a few more outer ones.  The reference
-itself ships this knob: bin/run_jra55_pca_aa.py:119-120 caps BOTH
-weights and dictionary solvers at max_iterations=1 for its protocol.
+Tested hypothesis (REJECTED by this script's own results): that the
+gap between the warm per-iteration profile (6.52 ms x ~700
+chunk-iterations ~ 5 s) and the 12.6 s headline was cold-phase QPs
+burning toward the 1000-iteration inner cap.  The measurements refute
+it — caps 1000 -> 50 leave cost and outer-iteration counts identical
+and wall within ~5%, so the inner loop already early-exits everywhere
+and the extra per-iteration work is intrinsic (active-row QP work
+mid-fit; see CLAUDE.md and profile_breakdown.json).  What survives is
+a small quality/wall trade at cap 25, which perturbs the f32
+trajectory (same lottery as the Gram bit-pattern sensitivity) and is
+the shipped headline value.  Block-coordinate descent tolerates inexact
+inner solves — the next outer iteration warm-starts from the returned
+Z; the reference ships the same knob for its jra55 protocol
+(bin/run_jra55_pca_aa.py:119-120, max_iterations=1).
 
 Measures the compacted headline config (restart_chunk=25,
 compact_iterations=32, backend pallas) at several inner caps: warm
-wall, final cost, outer-iteration stats.  Writes
-benchmarks/qp_cap_ab.json.
+wall, final cost, outer-iteration stats.  Merges into
+benchmarks/qp_cap_ab.json, preserving keys this script does not
+produce (e.g. the cap_x_compact grid and its note).
 """
 
 import json
@@ -77,6 +81,13 @@ def main():
         print(json.dumps({str(cap): out["caps"][cap]}), flush=True)
 
     path = os.path.join(REPO, "benchmarks", "qp_cap_ab.json")
+    # Merge-preserve: keep keys produced by other experiments (the
+    # cap_x_compact grid, notes) instead of silently dropping them.
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev.update(out)
+        out = prev
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
 

@@ -176,6 +176,14 @@ def main():
             report = json.load(f)
     report["device"] = str(jax.devices()[0])
 
+    import subprocess
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(out_path)).stdout.strip()
+    except OSError:
+        rev = None
+
     for name, fn in configs:
         try:
             fresh = fn()
@@ -183,11 +191,26 @@ def main():
             fresh = {"error": repr(exc)}
         prev = report.get(name)
         if isinstance(prev, dict) and isinstance(fresh, dict):
-            # Only A/B attachments survive a re-run; anything else from
-            # the previous run would be stale alongside fresh timings.
-            for key in ("screened_ab", "pallas_backend_ab"):
-                if key in prev and key not in fresh:
-                    fresh[key] = prev[key]
+            if "error" in fresh:
+                # A failed re-run must not destroy the previous good
+                # result (and must not inherit its A/B attachments,
+                # which would pin stale evidence onto an error entry).
+                fresh = {"error": fresh["error"],
+                         "previous_good": {k: v for k, v in prev.items()
+                                           if k != "previous_good"}}
+            else:
+                # Only A/B attachments survive a re-run; anything else
+                # from the previous run would be stale alongside fresh
+                # timings.
+                for key in ("screened_ab", "pallas_backend_ab"):
+                    if key in prev and key not in fresh:
+                        fresh[key] = prev[key]
+        if isinstance(fresh, dict) and "error" not in fresh:
+            # Per-config provenance: configs measured at different
+            # code states/devices are distinguishable in the merged
+            # report ("device" at top level only reflects the last run).
+            fresh["measured_at"] = {"git_rev": rev or "unknown",
+                                    "device": str(jax.devices()[0])}
         report[name] = fresh
         print(json.dumps({name: report[name]}), flush=True)
     _attach_measured_baselines(report)
