@@ -26,7 +26,10 @@ Must run on an IDLE 1-core host (concurrent load inflates the baseline
 and would overstate our speedup).  Budget ~80-90 min for the default
 3 seeds x 4 restarts.
 
-Usage: ``python benchmarks/measure_config3_e2e.py [n_seeds]``
+Usage: ``python benchmarks/measure_config3_e2e.py [n_seeds]
+[start_seed]`` — with ``start_seed`` given, the new restarts MERGE
+with the existing ``measured_end_to_end`` entry (additive evidence:
+more independent restarts tighten the denominator's spread).
 """
 
 import json
@@ -69,6 +72,7 @@ def make_data():
 
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else SEEDS
+    start_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     try:
         load1 = os.getloadavg()[0]
     except OSError:
@@ -77,7 +81,15 @@ def main():
 
     seed_summaries = []
     restarts = []
-    for seed in range(n_seeds):
+    if start_seed:
+        # Merge mode: extend the existing measurement with more
+        # independent seeds.
+        with open(OUT) as f:
+            prev = json.load(f).get("measured_end_to_end")
+        if prev:
+            restarts = list(prev["restarts"])
+            seed_summaries = list(prev["seed_summaries"])
+    for seed in range(start_seed, start_seed + n_seeds):
         rng = np.random.RandomState(seed)
         seed_t0 = time.perf_counter()
         best_cost = np.inf
@@ -102,9 +114,10 @@ def main():
 
     secs = np.array([r["seconds"] for r in restarts], dtype=float)
     iters = np.array([r["n_iter"] for r in restarts], dtype=float)
+    seeds_present = sorted({r["seed"] for r in restarts})
     seed_means = np.array(
         [np.mean([r["seconds"] for r in restarts if r["seed"] == s])
-         for s in range(n_seeds)])
+         for s in seeds_present])
     per_restart = float(np.mean(secs))
     # Seed-level relative spread: the verdict's "done" bar is run-to-run
     # spread <= +/-15% on the measured denominator.
@@ -119,7 +132,8 @@ def main():
             "the reference does; 100-restart protocol seconds = mean "
             "per-restart seconds x 100 (restarts are independent; "
             "linear scaling over the independent axis)"
-            % (TOL, DICT_MAX_ITERATIONS, n_seeds, N_INIT_MEASURED)),
+            % (TOL, DICT_MAX_ITERATIONS, len(seeds_present),
+               N_INIT_MEASURED)),
         "per_restart_seconds_mean": per_restart,
         "per_restart_seconds_std": float(np.std(secs, ddof=1)),
         "per_restart_seconds_all": [float(s) for s in secs],
