@@ -34,6 +34,7 @@ from ..ops.stochastic_matrices import right_stochastic_matrix
 from ..solvers.spg import quad_simplex_spg_batch, resolve_qp_backend
 from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_unit_axis_sums
+from ..utils.vma import pvary_like
 from ._common import (QPSolverConfig, make_config, STOPPING_CRITERIA,
                       has_converged, prepare_estimator_mesh)
 from .archetypal_analysis import (_as_key, _scalar_dtype,
@@ -43,6 +44,7 @@ __all__ = [
     "GPNHConvexCoding",
     "gpnh_cost",
     "gpnh_regularization",
+    "gpnh_regularization_masked",
     "update_gpnh_dictionary",
     "update_gpnh_weights",
     "iterate_gpnh_convex_coding",
@@ -77,6 +79,46 @@ def _gpnh_gram(n_features, n_components, dtype):
                             - jnp.ones((n_components, n_components),
                                        dtype=dtype))
     return jnp.zeros((n_components, n_components), dtype=dtype)
+
+
+def gpnh_regularization_masked(dictionary, component_mask):
+    """GPNH penalty over the ACTIVE dictionary columns only.
+
+    Padded-``k`` analog of :func:`gpnh_regularization`: the penalty is
+    evaluated with the *active* component count ``k_act = sum(mask)``
+    in the prefactor and the sums restricted to active columns, so a
+    padded fit optimizes exactly the ``k_act``-component objective
+    (reference penalty definition gpnh_convex_coding.py:179-196 applied
+    to the active sub-dictionary).  ``component_mask`` is a runtime
+    ``(k_pad,)`` bool — the point of padding is one compiled program
+    per component-count bucket.
+    """
+    W = jnp.asarray(dictionary)
+    n_features = W.shape[0]
+    m = component_mask.astype(W.dtype)
+    k_act = jnp.sum(m)
+    Wm = W * m[None, :]
+    total = k_act * jnp.sum(Wm * Wm) - jnp.sum(jnp.sum(Wm, axis=1) ** 2)
+    denom = k_act * n_features * jnp.maximum(k_act - 1.0, 1.0)
+    pre = jnp.where(k_act > 1, 2.0 / denom, 0.0).astype(W.dtype)
+    return pre * total
+
+
+def _gpnh_gram_masked(n_features, component_mask, dtype):
+    """Masked ``G_W``: the active-block GPNH Gram with the active-``k``
+    prefactor, zero on padded rows/columns.  With the weights' padded
+    columns pinned to zero, the dictionary normal equations become
+    block-diagonal and the least-squares solve reproduces the unpadded
+    active-block solution (padded columns fall in the null space and
+    are zeroed explicitly by the caller)."""
+    m = component_mask.astype(dtype)
+    k_act = jnp.sum(m)
+    k_pad = component_mask.shape[0]
+    denom = n_features * k_act * jnp.maximum(k_act - 1.0, 1.0)
+    pre = jnp.where(k_act > 1, 4.0 / denom, 0.0).astype(dtype)
+    G = pre * (k_act * jnp.eye(k_pad, dtype=dtype)
+               - jnp.ones((k_pad, k_pad), dtype=dtype))
+    return G * m[:, None] * m[None, :]
 
 
 def gpnh_cost(data, weights, dictionary, lambda_W=0):
@@ -119,12 +161,18 @@ def update_gpnh_dictionary(X, weights, ZtZ, GW, lambda_W=0):
     return sol.T
 
 
-def update_gpnh_weights(X, weights, dictionary, **solver_kwargs):
+def update_gpnh_weights(X, weights, dictionary, component_mask=None,
+                        **solver_kwargs):
     """Batched simplex-QP weights update.
 
     Parity with reference ``_update_gpnh_weights``
     (gpnh_convex_coding.py:254-279): per row solve
     ``min 1/2 z'(W'W)z - (XW)[t]'z`` on the simplex.
+
+    ``component_mask`` (optional (k,) bool, runtime value) restricts
+    every row to the masked sub-simplex — padded components stay
+    exactly zero (padded-``k`` program bucketing; see
+    ``solvers.spg.quad_simplex_spg``).
     """
     cfg = make_config(QPSolverConfig, solver_kwargs)
     X = jnp.asarray(X)
@@ -132,7 +180,8 @@ def update_gpnh_weights(X, weights, dictionary, **solver_kwargs):
     WtW = W.T @ W
     XW = X @ W
     return quad_simplex_spg_batch(WtW, -XW, jnp.asarray(weights),
-                                  backend=cfg.backend, **cfg.kwargs())
+                                  backend=cfg.backend,
+                                  mask=component_mask, **cfg.kwargs())
 
 
 @apply_matmul_precision
@@ -140,18 +189,39 @@ def update_gpnh_weights(X, weights, dictionary, **solver_kwargs):
     jax.jit,
     static_argnames=('do_dict', 'do_weights', 'criterion', 'max_iterations',
                      'require_monotonic', 'weights_cfg'))
-def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
+def _gpnh_core(X, Z, W, lambda_W, tolerance, component_mask=None, *,
                do_dict, do_weights, criterion, max_iterations,
                require_monotonic, weights_cfg):
+    """Whole alternating GPNH fit as one on-device while loop.
+
+    ``component_mask`` (optional (k,) bool, runtime value) runs a
+    padded-``k`` fit equal to the ``sum(mask)``-component model: the
+    weights QP pins padded columns of ``Z`` to exact zero, the penalty
+    and its Gram use the active-``k`` prefactor over active columns
+    (:func:`gpnh_regularization_masked`), and the dictionary solve's
+    padded columns (null-space directions of the block-diagonal normal
+    equations) are zeroed explicitly.  ``Z``/``W``'s padded columns
+    must be zero on entry.  One compiled program then serves a bucket
+    of component counts (see ``parallel.sweep.gpnh_model_selection_
+    sweep``); the reference protocol this buckets is the per-k
+    best-of-n_init sweep (reference bin/run_hadisst_gpnh.py:149-171).
+    """
     n_samples, n_features = X.shape
     n_components = W.shape[1]
     sdt = _scalar_dtype(X.dtype)
 
-    GW = _gpnh_gram(n_features, n_components, X.dtype)
+    if component_mask is None:
+        GW = _gpnh_gram(n_features, n_components, X.dtype)
+    else:
+        GW = _gpnh_gram_masked(n_features, component_mask, X.dtype)
     trace_XtX = jnp.sum(X.astype(sdt) * X.astype(sdt))
 
     def penalty(W):
-        if_nonzero = gpnh_regularization(W).astype(sdt)
+        if component_mask is None:
+            if_nonzero = gpnh_regularization(W).astype(sdt)
+        else:
+            if_nonzero = gpnh_regularization_masked(
+                W, component_mask).astype(sdt)
         return jnp.where(lambda_W != 0, lambda_W * if_nonzero, 0.0)
 
     ZtZ = Z.T @ Z
@@ -189,6 +259,12 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
 
         if do_dict:
             W = update_gpnh_dictionary(X, Z, ZtZ, GW, lambda_W=lambda_W)
+            if component_mask is not None:
+                # Padded columns are null-space directions of the
+                # block-diagonal normal equations (Z's padded columns
+                # are exactly zero); pin them to exact zero so no SVD
+                # rounding leaks into the masked penalty or WtW.
+                W = W * component_mask.astype(W.dtype)[None, :]
             WtW = W.T @ W
             WtXtZ_tr = jnp.sum((X @ W).astype(sdt) * Z.astype(sdt))
             new_cost = _cost_from_parts(trace_XtX, WtXtZ_tr, ZtZ, WtW,
@@ -201,6 +277,7 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
             # with fit-regime semantics (warm-started QPs; see
             # solvers.spg.resolve_qp_backend).
             Z = update_gpnh_weights(X, Z, W,
+                                    component_mask=component_mask,
                                     backend=resolve_qp_backend(
                                         weights_cfg.backend,
                                         regime='fit'),
@@ -222,6 +299,9 @@ def _gpnh_core(X, Z, W, lambda_W, tolerance, *,
 
     init = (Z, W, ZtZ, new_cost, new_cost, jnp.asarray(0, jnp.int32),
             jnp.asarray(False), cost_trace, inc_flags)
+    # vma promotion for shard_map(check_vma=True) restart-sharded
+    # callers; no-op outside shard_map (see _kernel_aa_core).
+    init = pvary_like(init, Z, W)
     Z, W, ZtZ, old_cost, new_cost, n_iter, stop, cost_trace, inc_flags = (
         jax.lax.while_loop(cond, body, init))
 

@@ -38,6 +38,7 @@ from ..ops.stochastic_matrices import right_stochastic_matrix
 from ..solvers.spg import (quad_spg, quad_simplex_spg_batch_grouped,
                            resolve_qp_backend)
 from ..utils.precision import apply_matmul_precision
+from . import sharded_aa as _sharded_aa
 from .sharded_aa import _keep_best_loop, _select_best
 
 __all__ = ["aa_fit_restarts", "kernel_aa_fit_restarts",
@@ -218,7 +219,7 @@ def _make_aa_run(mesh, restart_axis, *, n_components, init,
             in_specs=(P(), P(restart_axis, None), P(), P(), P(), P()),
             out_specs=(P(), P(), P(), P(),
                        P(restart_axis), P(restart_axis), P(), P()),
-            check_vma=False)
+            check_vma=_sharded_aa.CHECK_VMA)
         def shard_fit(X, keys_loc, delta, tolerance, component_mask,
                       n_valid):
             K, diss, data = prepare(X)
@@ -462,7 +463,8 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
                                do_scale, has_data, dict_cfg, weights_cfg,
                                scale_cfg, weights_backend,
                                n_components=None, init=None,
-                               n_extra_steps=None):
+                               n_extra_steps=None, mesh=None,
+                               restart_axis=None):
     """One bounded, DEVICE-RESIDENT compaction round of grouped restarts.
 
     The restart population's states live in fixed-width ``(R, ...)``
@@ -487,7 +489,7 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
         dict_cfg, weights_cfg, scale_cfg)
 
     def finish(K, data, trace_K, states_all, idx, Zs, Cs, alphas,
-               tolerance, component_mask, delta):
+               tolerance, component_mask, delta, write_mask):
         iterate, cost0 = _aa_grouped_iterate(
             data, K, delta=delta, do_scale=do_scale, has_data=has_data,
             dict_kwargs=dict_kwargs, weights_backend=weights_backend,
@@ -499,16 +501,20 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
             max_iterations=max_iterations)
         Zs, Cs, alphas = states
         Z_all, C_all, a_all = states_all
+        # ``write_mask`` guards the scatter: rows a mesh group ran only
+        # to stay in lockstep (dummy rows of an already-drained group)
+        # must not advance their retired population state.
+        Zs = jnp.where(write_mask[:, None, None], Zs, Z_all[idx])
+        Cs = jnp.where(write_mask[:, None, None], Cs, C_all[idx])
+        alphas = jnp.where(write_mask[:, None], alphas, a_all[idx])
         Z_all = Z_all.at[idx].set(Zs)
         C_all = C_all.at[idx].set(Cs)
         a_all = a_all.at[idx].set(alphas)
         return (Z_all, C_all, a_all), costs, trace, n_iters, done
 
-    if fresh:
-        @apply_matmul_precision
-        @jax.jit
-        def run(X, gram, keys_all, states_all, idx, delta, tolerance,
-                component_mask=None):
+    def round_local(X, gram, keys_all, states_all, idx, write_mask,
+                    delta, tolerance, component_mask):
+        if fresh:
             K, diss, data, trace_K = _prepare_grouped(X, has_data, init,
                                                       K=gram)
             Zs, Cs, alphas = jax.vmap(functools.partial(
@@ -518,26 +524,66 @@ def _make_aa_grouped_round_run(*, fresh, max_iterations, criterion,
                 component_mask=component_mask,
                 do_scale=do_scale, dtype=K.dtype), in_axes=(0, None))(
                     keys_all[idx], delta)
-            return finish(K, data, trace_K, states_all, idx, Zs, Cs,
-                          alphas, tolerance, component_mask, delta)
+        else:
+            K, diss, data, trace_K = _prepare_grouped(X, has_data, None,
+                                                      K=gram)
+            Z_all, C_all, a_all = states_all
+            Zs, Cs, alphas = Z_all[idx], C_all[idx], a_all[idx]
+        return finish(K, data, trace_K, states_all, idx, Zs, Cs,
+                      alphas, tolerance, component_mask, delta,
+                      write_mask)
+
+    if mesh is None:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, gram, keys_all, states_all, idx, write_mask, delta,
+                tolerance, component_mask=None):
+            return round_local(X, gram, keys_all, states_all, idx,
+                               write_mask, delta, tolerance,
+                               component_mask)
         return run
+
+    # Mesh path (per-group compaction): the population arrays shard
+    # over ``restart_axis``; each restart group gathers ITS local chunk
+    # (one row of the (n_groups, chunk) local-index array), advances it,
+    # and scatters back — no cross-group collectives, so group trip
+    # counts stay independent inside the round program.
+    state_specs = (P(restart_axis, None, None),
+                   P(restart_axis, None, None),
+                   P(restart_axis, None))
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, gram, states_all, idx, delta, tolerance,
-            component_mask=None):
-        K, diss, data, trace_K = _prepare_grouped(X, has_data, None,
-                                                  K=gram)
-        Z_all, C_all, a_all = states_all
-        Zs, Cs, alphas = Z_all[idx], C_all[idx], a_all[idx]
-        return finish(K, data, trace_K, states_all, idx, Zs, Cs,
-                      alphas, tolerance, component_mask, delta)
+    def run(X, gram, keys_all, states_all, idx, write_mask, delta,
+            tolerance, component_mask=None):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(restart_axis, None), state_specs,
+                      P(restart_axis, None), P(restart_axis, None),
+                      P(), P(), P()),
+            out_specs=(state_specs,
+                       P(restart_axis, None),
+                       P(restart_axis, None, None),
+                       P(restart_axis, None),
+                       P(restart_axis, None)),
+            check_vma=_sharded_aa.CHECK_VMA)
+        def shard_round(X, gram, keys_loc, states_loc, idx_loc, wm_loc,
+                        delta, tolerance, component_mask):
+            states_loc, cs, tr, ni, done = round_local(
+                X, gram, keys_loc, states_loc, idx_loc[0], wm_loc[0],
+                delta, tolerance, component_mask)
+            return (states_loc, cs[None], tr[None], ni[None],
+                    done[None])
+
+        return shard_round(X, gram, keys_all, states_all, idx,
+                           write_mask, delta, tolerance, component_mask)
 
     return run
 
 
 def _compacted_best(R, states_all, *, max_iterations, restart_chunk,
-                    round_iterations, make_round_call):
+                    round_iterations, make_round_call, n_groups=1,
+                    n_valid=None):
     """Generic convergence-compaction scheduler over restart populations.
 
     The lockstep restart batch pays for its slowest member: at the
@@ -556,62 +602,91 @@ def _compacted_best(R, states_all, *, max_iterations, restart_chunk,
     restart — this is a scheduling change, not a model change.
 
     ``make_round_call(fresh, M_round)`` returns a callable
-    ``call(states_all, idx) -> (states_all, costs, trace, n_iters,
-    done)`` running one bounded round on the gathered chunk (a jitted
-    gather/advance/scatter program; see
-    :func:`_make_aa_grouped_round_run`).  ``states_all`` is the pytree
-    of fixed-width ``(R, ...)`` population arrays; all state stays on
-    device — the host sees only per-chunk scheduler scalars.  The round
-    programs are keyed by round length alone, so every round of a fit —
-    and every fit in a process — reuses at most two compiled programs
-    (full rounds + one clipped final round).
+    ``call(states_all, idx, write_mask) -> (states_all, costs, trace,
+    n_iters, done)`` running one bounded round on the gathered chunk (a
+    jitted gather/advance/scatter program; see
+    :func:`_make_aa_grouped_round_run`).  ``idx``/``write_mask`` are
+    ``(n_groups, chunk)`` GROUP-LOCAL index / valid-row arrays; returned
+    scalars may come back flat or group-stacked (reshaped here).
+    ``states_all`` is the pytree of fixed-width population arrays; all
+    state stays on device — the host sees only per-chunk scheduler
+    scalars.  The round programs are keyed by round length alone, so
+    every round of a fit — and every fit in a process — reuses at most
+    two compiled programs (full rounds + one clipped final round).
+
+    ``n_groups > 1`` runs PER-GROUP compaction over a mesh restart
+    axis: the population partitions into ``n_groups`` contiguous blocks
+    of ``R // n_groups`` restarts (the shard_map sharding), each group
+    compacts its own pending queue, and every dispatch advances one
+    chunk per group in lockstep (a drained group re-runs dummy rows
+    with ``write_mask=False`` so its retired states stay untouched).
+    No collectives cross groups, so per-restart trajectories are
+    identical to the single-chip schedule.  ``n_valid`` masks
+    mesh-divisibility pad restarts out of scheduling and selection.
 
     Returns ``(states_all, costs, n_iters, traces, best)`` with
     ``best`` the argmin-cost restart index and ``traces[i]`` the
     per-restart concatenable cost-delta segments.
     """
-    chunk = min(int(restart_chunk or R), R)
+    n_valid = R if n_valid is None else int(n_valid)
+    R_loc = R // n_groups
+    chunk = min(int(restart_chunk or R_loc), R_loc)
     M = int(round_iterations)
 
     costs = np.full((R,), np.inf)
     n_iters = np.zeros((R,), np.int64)
     traces = [[] for _ in range(R)]
 
-    pending = np.arange(R)
+    pending = [[i for i in range(g * R_loc, (g + 1) * R_loc)
+                if i < n_valid] for g in range(n_groups)]
     used = 0
-    while pending.size and used < max_iterations:
+    while any(pending) and used < max_iterations:
         M_round = min(M, max_iterations - used)
         call = make_round_call(used == 0, M_round)
 
         # Dispatch every chunk of the round before fetching any result:
         # the calls are async, so device work and relay latency overlap.
+        waves = max(-(-len(p) // chunk) for p in pending if p)
         outs = []
-        for s in range(0, pending.size, chunk):
-            idx_np = pending[s:s + chunk]
-            if idx_np.size < chunk:
-                # Tile the tail so every round reuses the one compiled
-                # chunk width; duplicate rows recompute the same
-                # trajectory and are skipped below.
-                idx_np = np.resize(idx_np, chunk)
-            idx = jnp.asarray(idx_np, jnp.int32)
-            states_all, cs, tr, ni, done = call(states_all, idx)
-            outs.append((idx_np, (cs, tr, ni, done)))
-
-        next_pending = []
-        for idx_np, out in outs:
-            cs, tr, ni, done = jax.device_get(out)
-            seen = set()
-            for j, i in enumerate(idx_np):
-                if i in seen:
-                    continue
-                seen.add(i)
-                n_iters[i] += ni[j]
-                traces[i].append(tr[j, :ni[j]])
-                if done[j] or used + M_round >= max_iterations:
-                    costs[i] = cs[j]
+        for w in range(waves):
+            idx_np = np.zeros((n_groups, chunk), np.int64)
+            wm_np = np.zeros((n_groups, chunk), bool)
+            for g in range(n_groups):
+                pg = pending[g][w * chunk:(w + 1) * chunk]
+                if pg:
+                    # Tile the tail so every round reuses the one
+                    # compiled chunk width; duplicate rows recompute
+                    # the same trajectory and are skipped below.
+                    idx_np[g] = np.resize(np.asarray(pg), chunk)
+                    wm_np[g] = True
                 else:
-                    next_pending.append(i)
-        pending = np.asarray(next_pending, dtype=np.int64)
+                    idx_np[g] = g * R_loc  # dummy rows, writes masked
+            idx_loc = jnp.asarray(idx_np - (np.arange(n_groups)
+                                            * R_loc)[:, None], jnp.int32)
+            states_all, cs, tr, ni, done = call(
+                states_all, idx_loc, jnp.asarray(wm_np))
+            outs.append((idx_np, wm_np, (cs, tr, ni, done)))
+
+        next_pending = [[] for _ in range(n_groups)]
+        for idx_np, wm_np, out in outs:
+            cs, tr, ni, done = jax.device_get(out)
+            cs = np.asarray(cs).reshape(n_groups, chunk)
+            ni = np.asarray(ni).reshape(n_groups, chunk)
+            done = np.asarray(done).reshape(n_groups, chunk)
+            tr = np.asarray(tr).reshape(n_groups, chunk, -1)
+            for g in range(n_groups):
+                seen = set()
+                for j, i in enumerate(idx_np[g]):
+                    if not wm_np[g, j] or i in seen:
+                        continue
+                    seen.add(i)
+                    n_iters[i] += ni[g, j]
+                    traces[i].append(tr[g, j, :ni[g, j]])
+                    if done[g, j] or used + M_round >= max_iterations:
+                        costs[i] = cs[g, j]
+                    else:
+                        next_pending[g].append(i)
+        pending = next_pending
         used += M_round
 
     best = int(np.argmin(costs))
@@ -620,14 +695,18 @@ def _compacted_best(R, states_all, *, max_iterations, restart_chunk,
 
 def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
                        statics, grouped_backend, restart_chunk,
-                       round_iterations):
+                       round_iterations, mesh=None,
+                       restart_axis='restarts'):
     """Exact-protocol multi-restart AA with convergence compaction
-    (see :func:`_compacted_best` for the scheduler semantics).
+    (see :func:`_compacted_best` for the scheduler semantics; with
+    ``mesh`` each restart group compacts its local restarts).
 
     Returns ``(best, costs, n_iters)`` with the
     :func:`_keep_best_over_chunks` contract:
     ``best = (Z, C, alpha, trace, best_cost, best_n_iter)``.
     """
+    n_groups = 1 if mesh is None else mesh.shape[restart_axis]
+    keys, n_valid = _pad_keys(keys, n_groups)
     R = keys.shape[0]
     shared = dict(criterion=statics['criterion'],
                   do_scale=statics['do_scale'],
@@ -635,7 +714,9 @@ def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
                   dict_cfg=statics['dict_cfg'],
                   weights_cfg=statics['weights_cfg'],
                   scale_cfg=statics['scale_cfg'],
-                  weights_backend=grouped_backend)
+                  weights_backend=grouped_backend,
+                  mesh=mesh,
+                  restart_axis=None if mesh is None else restart_axis)
 
     n_samples = X.shape[0]
     k = statics['n_components']
@@ -649,29 +730,33 @@ def _compacted_aa_best(X, keys, delta, tolerance, component_mask, *,
                   jnp.ones((R, k), dtype))
 
     def make_round_call(fresh, M_round):
-        if fresh:
-            runner = _make_aa_grouped_round_run(
-                fresh=True, max_iterations=M_round,
-                n_components=k, init=statics['init'],
-                n_extra_steps=statics['n_extra_steps'], **shared)
-            return lambda st, idx: runner(X, gram, keys, st, idx, delta,
-                                          tolerance, component_mask)
         runner = _make_aa_grouped_round_run(
-            fresh=False, max_iterations=M_round, **shared)
-        return lambda st, idx: runner(X, gram, st, idx, delta,
-                                      tolerance, component_mask)
+            fresh=fresh, max_iterations=M_round,
+            n_components=k, init=statics['init'] if fresh else None,
+            n_extra_steps=statics['n_extra_steps'] if fresh else None,
+            **shared)
+        if mesh is None:
+            # Single-chip runner takes flat (chunk,) index/mask rows;
+            # the scheduler always hands (n_groups=1, chunk).
+            return lambda st, idx, wm: runner(
+                X, gram, keys, st, idx[0], wm[0], delta, tolerance,
+                component_mask)
+        return lambda st, idx, wm: runner(X, gram, keys, st, idx, wm,
+                                          delta, tolerance,
+                                          component_mask)
 
     states_all, costs, n_iters, traces, best = _compacted_best(
         R, states_all, max_iterations=int(statics['max_iterations']),
         restart_chunk=restart_chunk, round_iterations=round_iterations,
-        make_round_call=make_round_call)
+        make_round_call=make_round_call, n_groups=n_groups,
+        n_valid=n_valid)
 
     Z_all, C_all, a_all = states_all
     trace_b = (np.concatenate(traces[best]) if traces[best]
                else np.zeros((0,)))
     best_tuple = (Z_all[best], C_all[best], a_all[best],
                   trace_b, float(costs[best]), int(n_iters[best]))
-    return best_tuple, costs, n_iters
+    return best_tuple, costs[:n_valid], n_iters[:n_valid]
 
 
 def _validate_compaction(compact_iterations, mesh, screen_iterations,
@@ -679,13 +764,10 @@ def _validate_compaction(compact_iterations, mesh, screen_iterations,
     """Shared argument validation for ``compact_iterations`` (AA,
     KernelAA, and GPNH restart entry points).  Returns the resolved
     ``grouped`` flag (compaction needs the grouped, state-resumable
-    runners)."""
+    runners; with ``mesh`` the rounds run shard_map'd with each
+    restart group compacting its local queue)."""
     if compact_iterations is None:
         return grouped
-    if mesh is not None:
-        raise ValueError("compact_iterations requires mesh=None; "
-                         "mesh-sharded fits already balance via "
-                         "per-restart freezing")
     if screen_iterations is not None:
         raise ValueError("compact_iterations and screen_iterations "
                          "are mutually exclusive (compaction is the "
@@ -763,7 +845,7 @@ def _make_aa_screen_run(mesh, restart_axis, *, n_components, init,
                        P(restart_axis, None),
                        P(restart_axis),
                        P(restart_axis)),
-            check_vma=False)(screen_batch)(
+            check_vma=_sharded_aa.CHECK_VMA)(screen_batch)(
                 X, keys, delta, tolerance, component_mask)
 
     return run
@@ -816,7 +898,7 @@ def _make_aa_resume_run(mesh, restart_axis, *, max_iterations, criterion,
                       P(restart_axis, None), P(), P(), P(), P()),
             out_specs=(P(), P(), P(), P(),
                        P(restart_axis), P(restart_axis), P(), P()),
-            check_vma=False)
+            check_vma=_sharded_aa.CHECK_VMA)
         def shard_resume(X, Zs_loc, Cs_loc, alphas_loc, delta,
                          tolerance, component_mask, n_valid):
             Zs_l, Cs_l, alphas_l, costs, n_iters, traces, _ = \
@@ -837,7 +919,7 @@ def _make_aa_resume_run(mesh, restart_axis, *, max_iterations, criterion,
 
 
 def _screened_best(screen_call, resume_call, keys, *, chunk, axis_size,
-                   screen_keep):
+                   screen_keep, screen_margin=None):
     """Generic two-phase screened keep-best driver (AA and GPNH).
 
     ``screen_call(key_chunk) -> (*state, costs, n_iters)`` stacked over
@@ -846,8 +928,18 @@ def _screened_best(screen_call, resume_call, keys, *, chunk, axis_size,
     (TPU execution-watchdog guard, see :func:`_keep_best_over_chunks`);
     with a mesh, key chunks and survivor states are tiled to the
     restart-axis size and the tiled duplicates are masked out of the
-    selection by the runtime ``n_valid``.  Returns ``(best, costs,
-    n_iters)`` shaped like :func:`_keep_best_over_chunks`'s result.
+    selection by the runtime ``n_valid``.
+
+    ``screen_margin`` (optional, cost units) guards the pruning
+    heuristic: in addition to the best ``screen_keep`` fraction, every
+    restart whose screened cost lies within ``screen_margin`` of the
+    fractional cut also survives — so a near-tied true winner cannot be
+    pruned by a hair at the cut.  Returns ``(best, costs, n_iters,
+    screen_diag)`` where ``screen_diag`` reports the cut, the kept
+    count, and the OBSERVED margin (best pruned screened cost minus
+    worst kept): a small observed margin means the cut landed inside a
+    cost plateau and the caller should consider a nonzero
+    ``screen_margin`` (or no screening).
     """
     n_init = keys.shape[0]
     if axis_size > 1:
@@ -867,8 +959,23 @@ def _screened_best(screen_call, resume_call, keys, *, chunk, axis_size,
     screen_costs = np.concatenate(costs_acc)
     screen_iters = np.concatenate(iters_acc)
 
+    order = np.argsort(screen_costs)
     n_keep = max(1, int(np.ceil(float(screen_keep) * n_init)))
-    survivors = np.argsort(screen_costs)[:n_keep]
+    cut = float(screen_costs[order[n_keep - 1]])
+    if screen_margin is not None:
+        n_keep = max(n_keep, int(np.sum(
+            screen_costs <= cut + float(screen_margin))))
+    survivors = order[:n_keep]
+    pruned = order[n_keep:]
+    screen_diag = {
+        'n_screened': int(n_init),
+        'n_kept': int(n_keep),
+        'screen_cut': cut,
+        'screen_margin_observed': (
+            float(screen_costs[pruned].min()
+                  - screen_costs[survivors].max())
+            if pruned.size else float('inf')),
+    }
 
     best = None
     res_costs, res_iters = [], []
@@ -896,13 +1003,13 @@ def _screened_best(screen_call, resume_call, keys, *, chunk, axis_size,
     # best's n_iter / trace cover the resume phase of the winner (its
     # screening iterations are in ``n_iters``); slicing the trace with
     # the phase count keeps cost_deltas consistent.
-    return best, all_costs, all_iters
+    return best, all_costs, all_iters, screen_diag
 
 
 def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
                       screen_iterations, screen_keep, restart_chunk,
                       statics, mesh=None, restart_axis='restarts',
-                      grouped_backend=None):
+                      grouped_backend=None, screen_margin=None):
     """AA instantiation of :func:`_screened_best` (screen -> prune ->
     resume); with ``mesh`` both phases run shard_map'd over
     ``restart_axis``; with ``grouped_backend`` both phases run the
@@ -936,7 +1043,8 @@ def _screened_aa_best(X, keys, delta, tolerance, component_mask, *,
 
     return _screened_best(screen_call, resume_call, keys,
                           chunk=restart_chunk or keys.shape[0],
-                          axis_size=axis_size, screen_keep=screen_keep)
+                          axis_size=axis_size, screen_keep=screen_keep,
+                          screen_margin=screen_margin)
 
 
 def _keep_best_over_chunks(call, keys, chunk_size, mesh_axis_size):
@@ -991,6 +1099,7 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
                     mesh=None, restart_axis='restarts',
                     restart_chunk=None, pad_components_to=None,
                     screen_iterations=None, screen_keep=0.25,
+                    screen_margin=None,
                     grouped=None, compact_iterations=None):
     """Best-of-``n_init`` archetypal analysis, fully on device.
 
@@ -1026,6 +1135,14 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     Composes with ``mesh``: both phases run shard_map'd over
     ``restart_axis``.
 
+    ``screen_margin`` (cost units) guards the screening heuristic:
+    every restart whose screened cost is within that margin of the
+    fractional cut ALSO survives, so a near-tied eventual winner cannot
+    be pruned by a hair.  Screened results carry a ``screen`` dict with
+    ``screen_cut``, ``n_kept``, and ``screen_margin_observed`` (best
+    pruned screened cost minus worst kept) — inspect it to size the
+    margin for a new dataset.
+
     ``grouped`` selects the single-chip restart-batch structure:
     ``None`` (auto) uses the grouped runners — weights QP batched
     ACROSS restarts through one fused kernel, per-restart freezing via
@@ -1048,7 +1165,12 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     Unlike screening this changes scheduling only — every restart still
     runs to its own convergence and the keep-best winner is identical
     (see :func:`_compacted_aa_best`).  Mutually exclusive with
-    ``screen_iterations``; requires ``mesh=None``.
+    ``screen_iterations``.  Composes with ``mesh``: each restart group
+    compacts its LOCAL restart queue (the round programs shard over
+    ``restart_axis`` with no cross-group collectives, so per-restart
+    trajectories match the single-chip schedule; a group that drains
+    early idles in lockstep re-running masked dummy rows until the
+    slowest group's round finishes).
     """
     X = jnp.asarray(data)
 
@@ -1072,24 +1194,35 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
 
     grouped = _validate_compaction(compact_iterations, mesh,
                                    screen_iterations, grouped)
-    grouped_backend = _grouped_backend(mesh, grouped, weights_cfg, k_fit)
+    if compact_iterations is not None:
+        # Compaction always uses the grouped round runners; under a
+        # mesh the rounds shard over the restart axis, so the backend
+        # resolves with sharded-fit semantics either way.
+        grouped_backend = resolve_qp_backend(
+            weights_cfg.backend, k=k_fit, regime='sharded_fit')
+    else:
+        grouped_backend = _grouped_backend(mesh, grouped, weights_cfg,
+                                           k_fit)
 
+    screen_diag = None
     if compact_iterations is not None:
         best, costs, n_iters = _compacted_aa_best(
             X, keys, jnp.asarray(delta, X.dtype),
             jnp.asarray(tolerance, X.dtype), component_mask,
             statics=statics, grouped_backend=grouped_backend,
             restart_chunk=restart_chunk,
-            round_iterations=int(compact_iterations))
+            round_iterations=int(compact_iterations),
+            mesh=mesh, restart_axis=restart_axis)
     elif screen_iterations is not None:
-        best, costs, n_iters = _screened_aa_best(
+        best, costs, n_iters, screen_diag = _screened_aa_best(
             X, keys, jnp.asarray(delta, X.dtype),
             jnp.asarray(tolerance, X.dtype), component_mask,
             screen_iterations=int(screen_iterations),
             screen_keep=float(screen_keep),
             restart_chunk=restart_chunk, statics=statics,
             mesh=mesh, restart_axis=restart_axis,
-            grouped_backend=grouped_backend)
+            grouped_backend=grouped_backend,
+            screen_margin=screen_margin)
     else:
         if grouped_backend is not None:
             run = _make_aa_grouped_run(weights_backend=grouped_backend,
@@ -1113,7 +1246,7 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
     dictionary = alpha[:, None] * C if do_scale else C
     archetypes = dictionary @ X
 
-    return {
+    out = {
         'weights': Z,
         'dictionary': dictionary,
         'alpha': alpha,
@@ -1125,6 +1258,9 @@ def aa_fit_restarts(data, n_components, key, n_init, delta=0.0,
         'n_iters': n_iters,
         'best_index': int(np.argmin(costs)),
     }
+    if screen_diag is not None:
+        out['screen'] = screen_diag
+    return out
 
 
 def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
@@ -1137,6 +1273,7 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
                            mesh=None, restart_axis='restarts',
                            restart_chunk=None, pad_components_to=None,
                            screen_iterations=None, screen_keep=0.25,
+                           screen_margin=None,
                            grouped=None, compact_iterations=None):
     """Best-of-``n_init`` kernel AA on a precomputed kernel matrix.
 
@@ -1174,22 +1311,30 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
 
     grouped = _validate_compaction(compact_iterations, mesh,
                                    screen_iterations, grouped)
-    grouped_backend = _grouped_backend(mesh, grouped, weights_cfg, k_fit)
+    if compact_iterations is not None:
+        grouped_backend = resolve_qp_backend(
+            weights_cfg.backend, k=k_fit, regime='sharded_fit')
+    else:
+        grouped_backend = _grouped_backend(mesh, grouped, weights_cfg,
+                                           k_fit)
 
+    screen_diag = None
     if compact_iterations is not None:
         best, costs, n_iters = _compacted_aa_best(
             K, keys, delta_op, tol_op, component_mask,
             statics=statics, grouped_backend=grouped_backend,
             restart_chunk=restart_chunk,
-            round_iterations=int(compact_iterations))
+            round_iterations=int(compact_iterations),
+            mesh=mesh, restart_axis=restart_axis)
     elif screen_iterations is not None:
-        best, costs, n_iters = _screened_aa_best(
+        best, costs, n_iters, screen_diag = _screened_aa_best(
             K, keys, delta_op, tol_op, component_mask,
             screen_iterations=int(screen_iterations),
             screen_keep=float(screen_keep),
             restart_chunk=restart_chunk, statics=statics,
             mesh=mesh, restart_axis=restart_axis,
-            grouped_backend=grouped_backend)
+            grouped_backend=grouped_backend,
+            screen_margin=screen_margin)
     else:
         if grouped_backend is not None:
             run = _make_aa_grouped_run(weights_backend=grouped_backend,
@@ -1207,7 +1352,7 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
     Z, C, alpha, trace, best_cost, n_iter_best = best
     if component_mask is not None:
         Z, C, alpha = Z[:, :k_out], C[:k_out], alpha[:k_out]
-    return {
+    out = {
         'weights': Z,
         'dictionary': C,
         'alpha': alpha,
@@ -1218,6 +1363,9 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
         'n_iters': n_iters,
         'best_index': int(np.argmin(costs)),
     }
+    if screen_diag is not None:
+        out['screen'] = screen_diag
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1225,13 +1373,25 @@ def kernel_aa_fit_restarts(kernel, n_components, key, n_init, delta=0.0,
 # ---------------------------------------------------------------------------
 
 
-def _init_gpnh_state(key, X, diss, *, n_components, init, n_extra_steps):
+def _init_gpnh_state(key, X, diss, *, n_components, init, n_extra_steps,
+                     component_mask=None):
     """One restart's (Z, W) initialization (reference
     gpnh_convex_coding.py:41-81), shared by the vmapped and grouped
-    restart batches."""
+    restart batches.
+
+    ``component_mask`` runs a padded-``k`` init: padded dictionary and
+    weight columns start at exact zero (the masked core keeps them
+    there), and the random dictionary scale uses the ACTIVE component
+    count (reference ``avg = sqrt(mean|X|/k)``, :41-49) so the active
+    columns are initialized exactly as an unpadded ``k_act`` fit's.
+    """
     n_samples, n_features = X.shape
     dtype = X.dtype
     k_start, k_dict, k_weights = jax.random.split(key, 3)
+    if component_mask is None:
+        k_act = n_components
+    else:
+        k_act = jnp.sum(component_mask.astype(dtype))
     if init == 'furthest_sum':
         # Reference init: dictionary columns are the FurthestSum-
         # selected data rows (gpnh_convex_coding.py:52-81), selected
@@ -1241,24 +1401,33 @@ def _init_gpnh_state(key, X, diss, *, n_components, init, n_extra_steps):
             diss, n_components, start, extra_steps=n_extra_steps)
         W = X[selected].T
     else:
-        avg = jnp.sqrt(jnp.mean(jnp.abs(X)) / n_components)
+        avg = jnp.sqrt(jnp.mean(jnp.abs(X)) / k_act)
         W = avg * jax.random.normal(
             k_dict, (n_features, n_components), dtype=dtype)
-    Z = right_stochastic_matrix(
-        k_weights, (n_samples, n_components), dtype=dtype)
+    if component_mask is None:
+        Z = right_stochastic_matrix(
+            k_weights, (n_samples, n_components), dtype=dtype)
+    else:
+        W = W * component_mask.astype(dtype)[None, :]
+        u = jax.random.uniform(
+            k_weights, (n_samples, n_components), dtype=dtype)
+        u = u * component_mask.astype(dtype)
+        Z = u / jnp.sum(u, axis=1, keepdims=True)
     return Z, W
 
 
-def _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance, *, n_components,
+def _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance,
+                    component_mask=None, *, n_components,
                     init, max_iterations, n_extra_steps, criterion,
                     weights_cfg):
     from ..models.gpnh_convex_coding import _gpnh_core
 
     def fit_one(key):
         Z, W = _init_gpnh_state(key, X, diss, n_components=n_components,
-                                init=init, n_extra_steps=n_extra_steps)
+                                init=init, n_extra_steps=n_extra_steps,
+                                component_mask=component_mask)
         Z, W, cost, n_iter, trace, _, _ = _gpnh_core(
-            X, Z, W, lambda_W, tolerance,
+            X, Z, W, lambda_W, tolerance, component_mask,
             do_dict=True, do_weights=True, criterion=criterion,
             max_iterations=max_iterations, require_monotonic=False,
             weights_cfg=weights_cfg)
@@ -1268,25 +1437,38 @@ def _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance, *, n_components,
 
 
 def _gpnh_grouped_iterate(X, *, lambda_W, weights_backend,
-                          weights_kwargs, n_components):
+                          weights_kwargs, n_components,
+                          component_mask=None):
     """Restart-batched GPNH iterate with the weights QP grouped across
     restarts (single-device analog of ``sharded_aa.sharded_gpnh_fit``'s
     inner ``iterate_batch``; per-iteration math mirrors
     ``models.gpnh_convex_coding._gpnh_core`` — exact k x k lstsq
     dictionary solve, reference gpnh_convex_coding.py:213-226, then the
-    per-row simplex QP :229-251 — with the trace-form objective)."""
+    per-row simplex QP :229-251 — with the trace-form objective).
+    ``component_mask`` runs padded-``k`` fits (active-``k`` penalty,
+    masked QP, zeroed padded dictionary columns; see
+    ``models.gpnh_convex_coding._gpnh_core``)."""
     from ..models.gpnh_convex_coding import (_cost_from_parts as
                                              _gpnh_cost_from_parts,
                                              _gpnh_gram,
-                                             gpnh_regularization)
+                                             _gpnh_gram_masked,
+                                             gpnh_regularization,
+                                             gpnh_regularization_masked)
 
     n_samples, n_features = X.shape
     sdt = _scalar_dtype(X.dtype)
     trace_XtX = jnp.sum(X.astype(sdt) * X.astype(sdt))
-    GW = _gpnh_gram(n_features, n_components, X.dtype)
+    if component_mask is None:
+        GW = _gpnh_gram(n_features, n_components, X.dtype)
+    else:
+        GW = _gpnh_gram_masked(n_features, component_mask, X.dtype)
 
     def penalty(W):
-        if_nonzero = gpnh_regularization(W).astype(sdt)
+        if component_mask is None:
+            if_nonzero = gpnh_regularization(W).astype(sdt)
+        else:
+            if_nonzero = gpnh_regularization_masked(
+                W, component_mask).astype(sdt)
         return jnp.where(lambda_W != 0, lambda_W * if_nonzero, 0.0)
 
     def dict_update(Z):
@@ -1294,6 +1476,8 @@ def _gpnh_grouped_iterate(X, *, lambda_W, weights_backend,
         ZtX = Z.T @ X
         lhs = ZtZ / n_samples + lambda_W * GW
         W = jnp.linalg.lstsq(lhs, ZtX / n_samples)[0].T
+        if component_mask is not None:
+            W = W * component_mask.astype(W.dtype)[None, :]
         return W, W.T @ W, -(X @ W)
 
     def cost_of(Z, W, WtW, XW):
@@ -1304,7 +1488,8 @@ def _gpnh_grouped_iterate(X, *, lambda_W, weights_backend,
     def iterate(Zs, Ws):
         Ws, WtWs, Bs = jax.vmap(dict_update)(Zs)
         Zs = quad_simplex_spg_batch_grouped(
-            WtWs, Bs, Zs, backend=weights_backend, **weights_kwargs)
+            WtWs, Bs, Zs, backend=weights_backend, mask=component_mask,
+            **weights_kwargs)
         costs = jax.vmap(cost_of)(Zs, Ws, WtWs, -Bs)
         return Zs, Ws, costs
 
@@ -1326,16 +1511,18 @@ def _make_gpnh_grouped_run(*, n_components, init, max_iterations,
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, keys, lambda_W, tolerance, n_valid):
+    def run(X, keys, lambda_W, tolerance, n_valid, component_mask=None):
         diss = (dissimilarities_from_kernel(X @ X.T)
                 if init == 'furthest_sum' else None)
         Zs, Ws = jax.vmap(functools.partial(
             _init_gpnh_state, n_components=n_components, init=init,
-            n_extra_steps=n_extra_steps), in_axes=(0, None, None))(
+            n_extra_steps=n_extra_steps,
+            component_mask=component_mask), in_axes=(0, None, None))(
                 keys, X, diss)
         iterate, cost0 = _gpnh_grouped_iterate(
             X, lambda_W=lambda_W, weights_backend=weights_backend,
-            weights_kwargs=weights_kwargs, n_components=n_components)
+            weights_kwargs=weights_kwargs, n_components=n_components,
+            component_mask=component_mask)
         states, costs, trace, n_iters, _ = _keep_best_loop(
             (Zs, Ws), cost0(Zs, Ws), iterate, tolerance=tolerance,
             criterion=criterion, max_iterations=max_iterations)
@@ -1358,16 +1545,18 @@ def _make_gpnh_grouped_screen_run(*, n_components, init, max_iterations,
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, keys, lambda_W, tolerance):
+    def run(X, keys, lambda_W, tolerance, component_mask=None):
         diss = (dissimilarities_from_kernel(X @ X.T)
                 if init == 'furthest_sum' else None)
         Zs, Ws = jax.vmap(functools.partial(
             _init_gpnh_state, n_components=n_components, init=init,
-            n_extra_steps=n_extra_steps), in_axes=(0, None, None))(
+            n_extra_steps=n_extra_steps,
+            component_mask=component_mask), in_axes=(0, None, None))(
                 keys, X, diss)
         iterate, cost0 = _gpnh_grouped_iterate(
             X, lambda_W=lambda_W, weights_backend=weights_backend,
-            weights_kwargs=weights_kwargs, n_components=n_components)
+            weights_kwargs=weights_kwargs, n_components=n_components,
+            component_mask=component_mask)
         states, costs, _, n_iters, _ = _keep_best_loop(
             (Zs, Ws), cost0(Zs, Ws), iterate, tolerance=tolerance,
             criterion=criterion, max_iterations=max_iterations)
@@ -1385,11 +1574,12 @@ def _make_gpnh_grouped_resume_run(*, max_iterations, criterion,
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None):
+    def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None,
+            component_mask=None):
         iterate, cost0 = _gpnh_grouped_iterate(
             X, lambda_W=lambda_W, weights_backend=weights_backend,
             weights_kwargs=weights_kwargs,
-            n_components=Ws.shape[-1])
+            n_components=Ws.shape[-1], component_mask=component_mask)
         states, costs, trace, n_iters, _ = _keep_best_loop(
             (Zs, Ws), cost0(Zs, Ws), iterate, tolerance=tolerance,
             criterion=criterion, max_iterations=max_iterations)
@@ -1405,66 +1595,110 @@ def _make_gpnh_grouped_resume_run(*, max_iterations, criterion,
 def _make_gpnh_grouped_round_run(*, fresh, max_iterations, criterion,
                                  weights_cfg, weights_backend,
                                  n_components, init=None,
-                                 n_extra_steps=None):
+                                 n_extra_steps=None, mesh=None,
+                                 restart_axis=None):
     """One bounded, device-resident compaction round of grouped GPNH
     restarts — GPNH analog of :func:`_make_aa_grouped_round_run` (see
-    that docstring for the gather/advance/scatter design; the
-    population pytree here is ``(Z_all, W_all)``)."""
+    that docstring for the gather/advance/scatter design and the
+    mesh per-group wrapper; the population pytree here is
+    ``(Z_all, W_all)``)."""
     weights_kwargs = weights_cfg.kwargs()
 
-    def finish(X, states_all, idx, Zs, Ws, lambda_W, tolerance):
+    def finish(X, states_all, idx, Zs, Ws, lambda_W, tolerance,
+               component_mask, write_mask):
         iterate, cost0 = _gpnh_grouped_iterate(
             X, lambda_W=lambda_W, weights_backend=weights_backend,
-            weights_kwargs=weights_kwargs, n_components=n_components)
+            weights_kwargs=weights_kwargs, n_components=n_components,
+            component_mask=component_mask)
         states, costs, trace, n_iters, done = _keep_best_loop(
             (Zs, Ws), cost0(Zs, Ws), iterate, tolerance=tolerance,
             criterion=criterion, max_iterations=max_iterations)
         Zs, Ws = states
         Z_all, W_all = states_all
+        Zs = jnp.where(write_mask[:, None, None], Zs, Z_all[idx])
+        Ws = jnp.where(write_mask[:, None, None], Ws, W_all[idx])
         Z_all = Z_all.at[idx].set(Zs)
         W_all = W_all.at[idx].set(Ws)
         return (Z_all, W_all), costs, trace, n_iters, done
 
-    if fresh:
-        @apply_matmul_precision
-        @jax.jit
-        def run(X, keys_all, states_all, idx, lambda_W, tolerance):
+    def round_local(X, keys_all, states_all, idx, write_mask, lambda_W,
+                    tolerance, component_mask):
+        if fresh:
             diss = (dissimilarities_from_kernel(X @ X.T)
                     if init == 'furthest_sum' else None)
             Zs, Ws = jax.vmap(functools.partial(
                 _init_gpnh_state, n_components=n_components, init=init,
-                n_extra_steps=n_extra_steps), in_axes=(0, None, None))(
-                    keys_all[idx], X, diss)
-            return finish(X, states_all, idx, Zs, Ws, lambda_W,
-                          tolerance)
+                n_extra_steps=n_extra_steps,
+                component_mask=component_mask),
+                in_axes=(0, None, None))(keys_all[idx], X, diss)
+        else:
+            Z_all, W_all = states_all
+            Zs, Ws = Z_all[idx], W_all[idx]
+        return finish(X, states_all, idx, Zs, Ws, lambda_W, tolerance,
+                      component_mask, write_mask)
+
+    if mesh is None:
+        @apply_matmul_precision
+        @jax.jit
+        def run(X, keys_all, states_all, idx, write_mask, lambda_W,
+                tolerance, component_mask=None):
+            return round_local(X, keys_all, states_all, idx, write_mask,
+                               lambda_W, tolerance, component_mask)
         return run
+
+    state_specs = (P(restart_axis, None, None),
+                   P(restart_axis, None, None))
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, states_all, idx, lambda_W, tolerance):
-        Z_all, W_all = states_all
-        return finish(X, states_all, idx, Z_all[idx], W_all[idx],
-                      lambda_W, tolerance)
+    def run(X, keys_all, states_all, idx, write_mask, lambda_W,
+            tolerance, component_mask=None):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(restart_axis, None), state_specs,
+                      P(restart_axis, None), P(restart_axis, None),
+                      P(), P(), P()),
+            out_specs=(state_specs,
+                       P(restart_axis, None),
+                       P(restart_axis, None, None),
+                       P(restart_axis, None),
+                       P(restart_axis, None)),
+            check_vma=_sharded_aa.CHECK_VMA)
+        def shard_round(X, keys_loc, states_loc, idx_loc, wm_loc,
+                        lambda_W, tolerance, component_mask):
+            states_loc, cs, tr, ni, done = round_local(
+                X, keys_loc, states_loc, idx_loc[0], wm_loc[0],
+                lambda_W, tolerance, component_mask)
+            return (states_loc, cs[None], tr[None], ni[None],
+                    done[None])
+
+        return shard_round(X, keys_all, states_all, idx, write_mask,
+                           lambda_W, tolerance, component_mask)
 
     return run
 
 
 def _compacted_gpnh_best(X, keys, lambda_W, tolerance, *, statics,
                          grouped_backend, restart_chunk,
-                         round_iterations):
+                         round_iterations, component_mask=None,
+                         mesh=None, restart_axis='restarts'):
     """Exact-protocol multi-restart GPNH with convergence compaction
-    (scheduler semantics in :func:`_compacted_best`; reference protocol
+    (scheduler semantics in :func:`_compacted_best`; with ``mesh`` each
+    restart group compacts its local restarts; reference protocol
     bin/run_hadisst_gpnh.py:149-171 — best-of-n_init to convergence).
 
     Returns ``(best, costs, n_iters)`` with
     ``best = (Z, W, trace, best_cost, best_n_iter)``.
     """
+    n_groups = 1 if mesh is None else mesh.shape[restart_axis]
+    keys, n_valid = _pad_keys(keys, n_groups)
     R = keys.shape[0]
     k = statics['n_components']
     shared = dict(criterion=statics['criterion'],
                   weights_cfg=statics['weights_cfg'],
                   weights_backend=grouped_backend,
-                  n_components=k)
+                  n_components=k, mesh=mesh,
+                  restart_axis=None if mesh is None else restart_axis)
 
     X = jnp.asarray(X)
     n_samples, n_features = X.shape
@@ -1472,28 +1706,31 @@ def _compacted_gpnh_best(X, keys, lambda_W, tolerance, *, statics,
                   jnp.zeros((R, n_features, k), X.dtype))
 
     def make_round_call(fresh, M_round):
-        if fresh:
-            runner = _make_gpnh_grouped_round_run(
-                fresh=True, max_iterations=M_round,
-                init=statics['init'],
-                n_extra_steps=statics['n_extra_steps'], **shared)
-            return lambda st, idx: runner(X, keys, st, idx, lambda_W,
-                                          tolerance)
         runner = _make_gpnh_grouped_round_run(
-            fresh=False, max_iterations=M_round, **shared)
-        return lambda st, idx: runner(X, st, idx, lambda_W, tolerance)
+            fresh=fresh, max_iterations=M_round,
+            init=statics['init'] if fresh else None,
+            n_extra_steps=statics['n_extra_steps'] if fresh else None,
+            **shared)
+        if mesh is None:
+            return lambda st, idx, wm: runner(
+                X, keys, st, idx[0], wm[0], lambda_W, tolerance,
+                component_mask)
+        return lambda st, idx, wm: runner(X, keys, st, idx, wm,
+                                          lambda_W, tolerance,
+                                          component_mask)
 
     states_all, costs, n_iters, traces, best = _compacted_best(
         R, states_all, max_iterations=int(statics['max_iterations']),
         restart_chunk=restart_chunk, round_iterations=round_iterations,
-        make_round_call=make_round_call)
+        make_round_call=make_round_call, n_groups=n_groups,
+        n_valid=n_valid)
 
     Z_all, W_all = states_all
     trace_b = (np.concatenate(traces[best]) if traces[best]
                else np.zeros((0,)))
     best_tuple = (Z_all[best], W_all[best], trace_b,
                   float(costs[best]), int(n_iters[best]))
-    return best_tuple, costs, n_iters
+    return best_tuple, costs[:n_valid], n_iters[:n_valid]
 
 
 @functools.lru_cache(maxsize=128)
@@ -1521,26 +1758,29 @@ def _make_gpnh_run(mesh, restart_axis, *, n_components, init,
     if mesh is None:
         @apply_matmul_precision
         @jax.jit
-        def run(X, keys, lambda_W, tolerance, n_valid):
+        def run(X, keys, lambda_W, tolerance, n_valid,
+                component_mask=None):
             diss = prepare(X)
             out = _gpnh_fit_batch(X, diss, keys, lambda_W, tolerance,
-                                  **statics)
+                                  component_mask, **statics)
             return local_best(*out, n_valid)
         return run
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, keys, lambda_W, tolerance, n_valid):
+    def run(X, keys, lambda_W, tolerance, n_valid, component_mask=None):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(restart_axis, None), P(), P(), P()),
+            in_specs=(P(), P(restart_axis, None), P(), P(), P(), P()),
             out_specs=(P(), P(), P(), P(restart_axis), P(restart_axis),
                        P(), P()),
-            check_vma=False)
-        def shard_fit(X, keys_loc, lambda_W, tolerance, n_valid):
+            check_vma=_sharded_aa.CHECK_VMA)
+        def shard_fit(X, keys_loc, lambda_W, tolerance, n_valid,
+                      component_mask):
             diss = prepare(X)
             Zs, Ws, costs, n_iters, traces = _gpnh_fit_batch(
-                X, diss, keys_loc, lambda_W, tolerance, **statics)
+                X, diss, keys_loc, lambda_W, tolerance, component_mask,
+                **statics)
             best, best_cost, best_n_iter, best_trace = _select_best(
                 (Zs, Ws), costs, traces, n_iters, n_valid=n_valid,
                 restart_axis=restart_axis)
@@ -1548,7 +1788,8 @@ def _make_gpnh_run(mesh, restart_axis, *, n_components, init,
             return (Z, W, best_trace, costs, n_iters, best_cost,
                     best_n_iter)
 
-        return shard_fit(X, keys, lambda_W, tolerance, n_valid)
+        return shard_fit(X, keys, lambda_W, tolerance, n_valid,
+                         component_mask)
 
     return run
 
@@ -1564,31 +1805,34 @@ def _make_gpnh_screen_run(mesh, restart_axis, *, n_components, init,
                    n_extra_steps=n_extra_steps, criterion=criterion,
                    weights_cfg=weights_cfg)
 
-    def screen_batch(X, keys, lambda_W, tolerance):
+    def screen_batch(X, keys, lambda_W, tolerance, component_mask):
         diss = (dissimilarities_from_kernel(X @ X.T)
                 if init == 'furthest_sum' else None)
         Zs, Ws, costs, n_iters, _ = _gpnh_fit_batch(
-            X, diss, keys, lambda_W, tolerance, **statics)
+            X, diss, keys, lambda_W, tolerance, component_mask,
+            **statics)
         return Zs, Ws, costs, n_iters
 
     if mesh is None:
         @apply_matmul_precision
         @jax.jit
-        def run(X, keys, lambda_W, tolerance):
-            return screen_batch(X, keys, lambda_W, tolerance)
+        def run(X, keys, lambda_W, tolerance, component_mask=None):
+            return screen_batch(X, keys, lambda_W, tolerance,
+                                component_mask)
         return run
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, keys, lambda_W, tolerance):
+    def run(X, keys, lambda_W, tolerance, component_mask=None):
         return functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(restart_axis, None), P(), P()),
+            in_specs=(P(), P(restart_axis, None), P(), P(), P()),
             out_specs=(P(restart_axis, None, None),
                        P(restart_axis, None, None),
                        P(restart_axis),
                        P(restart_axis)),
-            check_vma=False)(screen_batch)(X, keys, lambda_W, tolerance)
+            check_vma=_sharded_aa.CHECK_VMA)(screen_batch)(
+                X, keys, lambda_W, tolerance, component_mask)
 
     return run
 
@@ -1600,10 +1844,11 @@ def _make_gpnh_resume_run(mesh, restart_axis, *, max_iterations,
     (Z, W) states to convergence, then keep the best."""
     from ..models.gpnh_convex_coding import _gpnh_core
 
-    def resume_batch(X, Zs, Ws, lambda_W, tolerance):
+    def resume_batch(X, Zs, Ws, lambda_W, tolerance, component_mask):
         def resume_one(Z, W):
             return _gpnh_core(
-                X, Z, W, lambda_W, tolerance, do_dict=True,
+                X, Z, W, lambda_W, tolerance, component_mask,
+                do_dict=True,
                 do_weights=True, criterion=criterion,
                 max_iterations=max_iterations, require_monotonic=False,
                 weights_cfg=weights_cfg)[:6]
@@ -1613,9 +1858,10 @@ def _make_gpnh_resume_run(mesh, restart_axis, *, max_iterations,
     if mesh is None:
         @apply_matmul_precision
         @jax.jit
-        def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None):
+        def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None,
+                component_mask=None):
             Zs, Ws, costs, n_iters, traces, _ = resume_batch(
-                X, Zs, Ws, lambda_W, tolerance)
+                X, Zs, Ws, lambda_W, tolerance, component_mask)
             best = jnp.argmin(costs)
             return (Zs[best], Ws[best], traces[best], costs, n_iters,
                     costs[best], n_iters[best])
@@ -1623,18 +1869,19 @@ def _make_gpnh_resume_run(mesh, restart_axis, *, max_iterations,
 
     @apply_matmul_precision
     @jax.jit
-    def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None):
+    def run(X, Zs, Ws, lambda_W, tolerance, n_valid=None,
+            component_mask=None):
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P(), P(restart_axis, None, None),
-                      P(restart_axis, None, None), P(), P(), P()),
+                      P(restart_axis, None, None), P(), P(), P(), P()),
             out_specs=(P(), P(), P(),
                        P(restart_axis), P(restart_axis), P(), P()),
-            check_vma=False)
+            check_vma=_sharded_aa.CHECK_VMA)
         def shard_resume(X, Zs_loc, Ws_loc, lambda_W, tolerance,
-                         n_valid):
+                         n_valid, component_mask):
             Zs_l, Ws_l, costs, n_iters, traces, _ = resume_batch(
-                X, Zs_loc, Ws_loc, lambda_W, tolerance)
+                X, Zs_loc, Ws_loc, lambda_W, tolerance, component_mask)
             best, best_cost, best_n_iter, best_trace = _select_best(
                 (Zs_l, Ws_l), costs, traces, n_iters, n_valid=n_valid,
                 restart_axis=restart_axis)
@@ -1643,7 +1890,8 @@ def _make_gpnh_resume_run(mesh, restart_axis, *, max_iterations,
                     best_n_iter)
 
         return shard_resume(X, Zs, Ws, lambda_W, tolerance,
-                            jnp.asarray(n_valid, jnp.int32))
+                            jnp.asarray(n_valid, jnp.int32),
+                            component_mask)
 
     return run
 
@@ -1654,8 +1902,9 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
                       stopping_criterion='abs_delta_f',
                       weights_solver_kwargs=None,
                       mesh=None, restart_axis='restarts',
-                      restart_chunk=None,
+                      restart_chunk=None, pad_components_to=None,
                       screen_iterations=None, screen_keep=0.25,
+                      screen_margin=None,
                       grouped=None, compact_iterations=None):
     """Best-of-``n_init`` GPNH convex coding, fully on device.
 
@@ -1664,6 +1913,15 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
     (``random`` and device-side ``furthest_sum``).  ``restart_chunk``
     bounds how many restarts run in one device execution (the TPU
     execution-watchdog guard; see :func:`_keep_best_over_chunks`).
+
+    ``pad_components_to`` runs the fit padded to that component count
+    with a runtime mask: the weights QP pins padded columns to exact
+    zero and the GPNH penalty is evaluated with the ACTIVE component
+    count over active columns
+    (``models.gpnh_convex_coding.gpnh_regularization_masked``) — the
+    result is exactly an ``n_components`` model, and every ``k``
+    sharing a pad size reuses one compiled program (kills the per-``k``
+    recompile in ``parallel.sweep.gpnh_model_selection_sweep``).
     ``screen_iterations``/``screen_keep`` enable two-phase screened
     restarts exactly as in :func:`aa_fit_restarts` (compose with
     ``mesh``), ``grouped`` selects the single-chip grouped restart
@@ -1689,13 +1947,21 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
     lam_op = jnp.asarray(lambda_W, X.dtype)
     tol_op = jnp.asarray(tolerance, X.dtype)
 
+    k_out = int(n_components)
+    k_fit, component_mask = _padded_components(k_out, pad_components_to)
+
     grouped = _validate_compaction(compact_iterations, mesh,
                                    screen_iterations, grouped)
-    grouped_backend = _grouped_backend(mesh, grouped, weights_cfg,
-                                       int(n_components))
-
     if compact_iterations is not None:
-        statics = dict(n_components=int(n_components), init=init,
+        grouped_backend = resolve_qp_backend(
+            weights_cfg.backend, k=k_fit, regime='sharded_fit')
+    else:
+        grouped_backend = _grouped_backend(mesh, grouped, weights_cfg,
+                                           k_fit)
+
+    screen_diag = None
+    if compact_iterations is not None:
+        statics = dict(n_components=k_fit, init=init,
                        max_iterations=int(max_iterations),
                        n_extra_steps=int(n_extra_steps),
                        criterion=stopping_criterion,
@@ -1704,11 +1970,13 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
             X, keys, lam_op, tol_op, statics=statics,
             grouped_backend=grouped_backend,
             restart_chunk=restart_chunk,
-            round_iterations=int(compact_iterations))
+            round_iterations=int(compact_iterations),
+            component_mask=component_mask,
+            mesh=mesh, restart_axis=restart_axis)
     elif screen_iterations is not None:
         if grouped_backend is not None:
             screen = _make_gpnh_grouped_screen_run(
-                n_components=int(n_components), init=init,
+                n_components=k_fit, init=init,
                 max_iterations=int(screen_iterations),
                 n_extra_steps=int(n_extra_steps),
                 criterion=stopping_criterion, weights_cfg=weights_cfg,
@@ -1719,7 +1987,7 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
                 weights_backend=grouped_backend)
         else:
             screen = _make_gpnh_screen_run(
-                mesh, restart_axis, n_components=int(n_components),
+                mesh, restart_axis, n_components=k_fit,
                 init=init, max_iterations=int(screen_iterations),
                 n_extra_steps=int(n_extra_steps),
                 criterion=stopping_criterion, weights_cfg=weights_cfg)
@@ -1728,40 +1996,43 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
                 criterion=stopping_criterion, weights_cfg=weights_cfg)
 
         def screen_call(key_chunk):
-            return screen(X, key_chunk, lam_op, tol_op)
+            return screen(X, key_chunk, lam_op, tol_op, component_mask)
 
         def resume_call(state, n_valid):
             Zs, Ws = state
-            return resume(X, Zs, Ws, lam_op, tol_op, n_valid)
+            return resume(X, Zs, Ws, lam_op, tol_op, n_valid,
+                          component_mask)
 
-        best, costs, n_iters = _screened_best(
+        best, costs, n_iters, screen_diag = _screened_best(
             screen_call, resume_call, keys,
             chunk=restart_chunk or n_init, axis_size=axis_size,
-            screen_keep=screen_keep)
+            screen_keep=screen_keep, screen_margin=screen_margin)
     else:
         if grouped_backend is not None:
             run = _make_gpnh_grouped_run(
-                n_components=int(n_components), init=init,
+                n_components=k_fit, init=init,
                 max_iterations=int(max_iterations),
                 n_extra_steps=int(n_extra_steps),
                 criterion=stopping_criterion, weights_cfg=weights_cfg,
                 weights_backend=grouped_backend)
         else:
             run = _make_gpnh_run(
-                mesh, restart_axis, n_components=int(n_components),
+                mesh, restart_axis, n_components=k_fit,
                 init=init, max_iterations=int(max_iterations),
                 n_extra_steps=int(n_extra_steps),
                 criterion=stopping_criterion, weights_cfg=weights_cfg)
 
         def call(chunk, n_valid):
             return run(X, chunk, lam_op, tol_op,
-                       jnp.asarray(n_valid, jnp.int32))
+                       jnp.asarray(n_valid, jnp.int32), component_mask)
 
         best, costs, n_iters = _keep_best_over_chunks(
             call, keys, restart_chunk, axis_size)
 
     Z, W, trace, best_cost, n_iter_best = best
-    return {
+    if component_mask is not None:
+        Z, W = Z[:, :k_out], W[:, :k_out]
+    out = {
         'weights': Z,
         'dictionary': W,
         'cost': best_cost,
@@ -1771,3 +2042,6 @@ def gpnh_fit_restarts(data, n_components, key, n_init, lambda_W=0.0,
         'n_iters': n_iters,
         'best_index': int(np.argmin(costs)),
     }
+    if screen_diag is not None:
+        out['screen'] = screen_diag
+    return out

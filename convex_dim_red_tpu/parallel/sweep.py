@@ -11,11 +11,14 @@ recompiling per shape (a sweep k=2..20 collapses from 7 programs to
 ``restarts.aa_fit_restarts(pad_components_to)``).  Results aggregate
 into the model-selection table the analysis notebooks consume.
 
-K-means sweeps cannot bucket this way (the padded-centroid analog
-changes Lloyd assignments), and GPNH cannot either: its pairwise
-dictionary-distance penalty averages over *all* columns
-(gpnh_convex_coding.py penalty; reference :179-196), so padded columns
-would change the objective.
+The GPNH sweep buckets the same way: although its pairwise
+dictionary-distance penalty couples all columns (reference
+gpnh_convex_coding.py:179-196), the masked penalty evaluates the
+active-``k`` prefactor over active columns only
+(``models.gpnh_convex_coding.gpnh_regularization_masked``), so a
+padded fit optimizes exactly the ``k``-component objective.  K-means
+sweeps cannot bucket this way (the padded-centroid analog changes
+Lloyd assignments).
 """
 
 import os
@@ -150,18 +153,26 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
                                init='random', tolerance=1e-5,
                                stopping_criterion='rel_delta_f',
                                max_iterations=500, mesh=None,
-                               restart_chunk=10, checkpoint_dir=None,
+                               restart_chunk=10, component_bucket=None,
+                               checkpoint_dir=None,
                                **solver_kwargs):
     """Fit GPNH convex coding for every k with ``n_init`` restarts.
 
     GPNH analog of :func:`aa_model_selection_sweep` (the analysis
-    notebooks' cost-vs-k selection curves cover GPNH runs too).  No
-    component bucketing: the GPNH dictionary penalty averages pairwise
-    distances over *all* columns (gpnh_convex_coding.py penalty;
-    reference :179-196), so padded columns would change the objective —
-    each ``k`` compiles its own program.  ``restart_chunk`` bounds how
-    many restarts run in one device execution (the TPU execution
-    watchdog guard; see restarts._keep_best_over_chunks).
+    notebooks' cost-vs-k selection curves cover GPNH runs too).
+    ``component_bucket`` buckets component counts exactly like the AA
+    sweep: each ``k`` rounds up to the next bucket multiple and runs
+    padded with a runtime mask — the masked GPNH penalty uses the
+    ACTIVE-``k`` prefactor over active columns, so the padded fit
+    optimizes exactly the ``k``-component objective and every ``k`` in
+    a bucket reuses ONE compiled program (see
+    ``restarts.gpnh_fit_restarts(pad_components_to)``).  Off by
+    default: padding changes the restart initializations (masked-
+    uniform weights; the random-dictionary scale stays the active-k
+    value), so bucketed per-k costs differ from the per-k protocol at
+    random-restart-noise level.  ``restart_chunk`` bounds how many
+    restarts run in one device execution (the TPU execution watchdog
+    guard; see restarts._keep_best_over_chunks).
 
     ``checkpoint_dir=`` resumes like :func:`aa_model_selection_sweep`.
 
@@ -171,10 +182,15 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
     fp = _sweep_fingerprint(data, key, dict(
         n_init=n_init, lambda_W=lambda_W, init=init,
         tolerance=tolerance, stopping_criterion=stopping_criterion,
-        max_iterations=max_iterations, **solver_kwargs))
+        max_iterations=max_iterations,
+        component_bucket=component_bucket, **solver_kwargs))
     results = {}
     for k in ks:
         k = int(k)
+        pad_to = None
+        if component_bucket:
+            bucket = int(component_bucket)
+            pad_to = -(-k // bucket) * bucket
         key, sub = jax.random.split(key)
         done = _sweep_ckpt_load(checkpoint_dir, k, fp)
         if done is not None:
@@ -185,7 +201,8 @@ def gpnh_model_selection_sweep(data, ks, key, n_init=50, lambda_W=0.0,
             data, k, sub, n_init, lambda_W=lambda_W, init=init,
             tolerance=tolerance, stopping_criterion=stopping_criterion,
             max_iterations=max_iterations, mesh=mesh,
-            restart_chunk=restart_chunk, **solver_kwargs)
+            restart_chunk=restart_chunk, pad_components_to=pad_to,
+            **solver_kwargs)
         elapsed = time.perf_counter() - start
         recon = np.asarray(fit['weights'] @ fit['dictionary'].T)
         results[k] = {
