@@ -58,6 +58,7 @@ from ..solvers.spg import (quad_spg, quad_simplex_spg_batch,
                            resolve_qp_backend)
 from ..utils.precision import apply_matmul_precision, matmul_precision_scope
 from ..utils.validation import check_array_shape, check_stochastic_matrix
+from ..utils.vma import pvary_like
 from ._common import (QPSolverConfig, SPGSolverConfig, make_config,
                       STOPPING_CRITERIA, has_converged,
                       prepare_estimator_mesh)
@@ -351,6 +352,12 @@ def _kernel_aa_core(K, Z, C, alpha, delta, tolerance, X,
     init = (Z, C, alpha, ZtZ, KZ, CK, CKCt, CKZ, CX,
             new_cost, new_cost, jnp.asarray(0, jnp.int32),
             jnp.asarray(False), cost_trace, inc_flags)
+    # vma promotion for shard_map(check_vma=True) restart-sharded
+    # callers (parallel/restarts.py mesh runners): the fresh-constant
+    # carry entries (iteration counter, stop flag, trace, inc_flags)
+    # must carry the state's varying axes or the while_loop types
+    # mismatch.  No-op outside shard_map (utils/vma.py).
+    init = pvary_like(init, Z, C, alpha)
     (Z, C, alpha, ZtZ, KZ, CK, CKCt, CKZ, CX,
      old_cost, new_cost, n_iter, stop, cost_trace, inc_flags) = (
         jax.lax.while_loop(cond, body, init))
@@ -993,6 +1000,9 @@ class ArchetypalAnalysis:
         k x k Hessian, no collectives until the final cost psum)."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
+        # Deferred import (parallel imports this module's helpers):
+        # static vma checking, same policy switch as the SPMD layer.
+        from ..parallel.sharded_aa import CHECK_VMA
 
         n_samples = data.shape[0]
         mesh = prepare_estimator_mesh(
@@ -1007,7 +1017,7 @@ class ArchetypalAnalysis:
                 in_specs=(P('samples', None), P('samples', None),
                           P('samples', None)),
                 out_specs=(P('samples', None), P()),
-                check_vma=False)
+                check_vma=CHECK_VMA)
             def solve(data_loc, B_loc, Z0_loc):
                 W_loc = quad_simplex_spg_batch(A, B_loc, Z0_loc,
                                                **cfg_kwargs)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.precision import apply_matmul_precision
+from ..utils.vma import pvary_like
 
 __all__ = ["KMeans", "kmeans_fit", "kmeans_plusplus", "random_init",
            "gap_statistic"]
@@ -55,8 +56,12 @@ def kmeans_plusplus(X, n_clusters, key):
         return centroids, key, d2
 
     d2 = jnp.full((n_samples,), jnp.inf, dtype=X.dtype)
-    centroids, key, d2 = jax.lax.fori_loop(
-        1, n_clusters, body, (centroids, key, d2))
+    # vma promotion for shard_map(check_vma=True) callers (the sharded
+    # gap statistic maps this over trial-sharded draws): the fresh
+    # closest-distance init must carry the data/key varying axes.
+    # No-op outside shard_map (utils/vma.py).
+    init = pvary_like((centroids, key, d2), X, key)
+    centroids, key, d2 = jax.lax.fori_loop(1, n_clusters, body, init)
     return centroids
 
 
@@ -91,6 +96,9 @@ def _lloyd(X, centroids, max_iter, tol_abs):
 
     init = (centroids, jnp.asarray(jnp.inf, X.dtype),
             jnp.asarray(0, jnp.int32))
+    # vma promotion for shard_map(check_vma=True) callers; no-op
+    # outside shard_map (see kmeans_plusplus above).
+    init = pvary_like(init, centroids, X)
     centroids, shift, n_iter = jax.lax.while_loop(cond, body, init)
     labels, inertia = assign(centroids)
     return centroids, labels, inertia, n_iter

@@ -48,8 +48,11 @@ from ..utils.vma import pvary_like
 __all__ = ["distributed_gram", "sharded_aa_train_step", "sharded_aa_fit",
            "sharded_kernel_aa_fit", "sharded_gpnh_fit"]
 
-#: Static varying-manual-axes checking for every shard_map in this
-#: module (round-3 verdict item 9).  The sharding specs are verified
+#: Static varying-manual-axes checking for every shard_map in the SPMD
+#: layer — this module, ``parallel/restarts.py``,
+#: ``parallel/sharded_models.py``, and the estimators' mesh routes all
+#: read this switch (dynamically, so the interpret-mode monkeypatch
+#: below reaches every path).  The sharding specs are verified
 #: statically: psum/pmin outputs are typed invariant, per-shard values
 #: varying, and an out_spec claiming replication of a varying value is
 #: a trace-time error (see utils/vma.py for the carry-promotion
@@ -290,9 +293,13 @@ def _keep_best_loop(states, cost0, iterate_batch, *, tolerance, criterion,
             trace, n_iters)
     # vma promotion for shard_map(check_vma=CHECK_VMA): the scheduler
     # constants (iteration counter, done flags, traces) inherit the
-    # restart axis' varying type from cost0 in the loop body.  No-op
-    # outside shard_map (see utils/vma.py).
-    init = (init[0], cost0) + pvary_like(init[2:], cost0)
+    # restart axis' varying type from cost0 in the loop body — and so
+    # do the states themselves (a constant-initialized state leaf, e.g.
+    # alpha = ones with the scale update off, becomes varying through
+    # the per-restart freeze select).  No-op outside shard_map
+    # (see utils/vma.py).
+    init = (pvary_like(init[0], cost0), cost0) + pvary_like(
+        init[2:], cost0)
     states, cost, it, done, trace, n_iters = jax.lax.while_loop(
         cond, body, init)
     return states, cost, trace, n_iters, done

@@ -40,6 +40,8 @@ from jax import shard_map
 
 from ..models.kmeans import _sq_dists
 from ..utils.precision import apply_matmul_precision
+from ..utils.vma import pvary_like
+from . import sharded_aa as _sharded_aa
 from .sharded_aa import _select_best
 
 __all__ = ["sharded_kmeans_fit", "sharded_pca", "sharded_gap_statistic"]
@@ -79,7 +81,7 @@ def sharded_kmeans_fit(mesh, X, key, *, n_clusters, n_init=10,
                    P(),                  # best n_iter
                    P(restart_axis),      # all inertias
                    P(restart_axis)),     # all n_iters
-        check_vma=False)
+        check_vma=_sharded_aa.CHECK_VMA)
     def fit(X_loc, keys_loc):
         n_loc, d = X_loc.shape
         shard = jax.lax.axis_index(sample_axis)
@@ -126,6 +128,11 @@ def sharded_kmeans_fit(mesh, X, key, *, n_clusters, n_init=10,
                 return C.at[i].set(fetch_row(idx)), key, d2_loc
 
             d2 = jnp.full((n_loc,), jnp.inf, X_loc.dtype)
+            # Promote ONLY the closest-distance carry: it mixes in the
+            # sample-varying X_loc each step, while C and key must stay
+            # typed sample-invariant (C is assembled from psum'd rows)
+            # so the final best centroids can be claimed replicated.
+            (d2,) = pvary_like((d2,), X_loc, key)
             C, key, d2 = jax.lax.fori_loop(1, k, body, (C, key, d2))
             return C
 
@@ -153,9 +160,12 @@ def sharded_kmeans_fit(mesh, X, key, *, n_clusters, n_init=10,
                 shift = jnp.sum((new_C - C) ** 2)
                 return new_C, shift, it + 1
 
-            C, shift, n_iter = jax.lax.while_loop(
-                cond, body, (C0, jnp.asarray(jnp.inf, X_loc.dtype),
-                             jnp.asarray(0, jnp.int32)))
+            # Restart-varying trip counts: promote the scheduler
+            # scalars to the centroid batch's (restart) axes.
+            init = (C0,) + pvary_like(
+                (jnp.asarray(jnp.inf, X_loc.dtype),
+                 jnp.asarray(0, jnp.int32)), C0)
+            C, shift, n_iter = jax.lax.while_loop(cond, body, init)
             _, inertia = assign(C)
             return C, inertia, n_iter
 
@@ -209,7 +219,7 @@ def sharded_pca(mesh, X, *, n_components, center=True,
                    P(feature_axis),        # mean
                    P(),                    # explained_variance
                    P()),                   # singular_values
-        check_vma=False)
+        check_vma=_sharded_aa.CHECK_VMA)
     def fit(X_loc):
         n_samples = X_loc.shape[0]
         mean_loc = (jnp.mean(X_loc, axis=0) if center
@@ -265,7 +275,7 @@ def sharded_gap_statistic(mesh, X, Wk, n_components, *, n_trials=100,
         shard_map, mesh=mesh,
         in_specs=(P(None, None), P(trial_axis, None)),
         out_specs=(P(), P()),
-        check_vma=False)
+        check_vma=_sharded_aa.CHECK_VMA)
     def stats(X_rep, keys_loc):
         if reference == 'uniform':
             fmin = jnp.min(X_rep, axis=0)

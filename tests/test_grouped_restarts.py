@@ -262,7 +262,52 @@ def test_compacted_aa_respects_iteration_cap_and_validations():
     with pytest.raises(ValueError, match='grouped'):
         aa_fit_restarts(X, 3, key, n_init=4, compact_iterations=10,
                         grouped=False)
-    with pytest.raises(ValueError, match='mesh'):
-        mesh = create_mesh(shape=(8,), axis_names=("restarts",))
-        aa_fit_restarts(X, 3, key, n_init=8, compact_iterations=10,
-                        mesh=mesh)
+
+
+@pytest.mark.slow
+def test_compacted_aa_on_mesh_matches_single_chip():
+    """Per-group compaction under mesh= (round-4 verdict item 8): the
+    round programs shard over the restart axis, each group compacts its
+    local queue, and — because no collectives cross groups and the
+    trajectories are the same state-resuming chains — the per-restart
+    costs and iteration counts match the single-chip compacted run."""
+    X = _planted(np.random.RandomState(4))
+    key = jax.random.PRNGKey(2)
+    kw = dict(tolerance=1e-10, max_iterations=200,
+              compact_iterations=15, restart_chunk=2)
+    plain = aa_fit_restarts(X, 3, key, n_init=8, **kw)
+    mesh = create_mesh(shape=(4,), axis_names=("restarts",),
+                       devices=jax.devices()[:4])
+    sharded = aa_fit_restarts(X, 3, key, n_init=8, mesh=mesh, **kw)
+    assert sharded['cost'] == pytest.approx(plain['cost'], rel=1e-10)
+    assert np.allclose(np.asarray(sharded['costs']),
+                       np.asarray(plain['costs']), rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(sharded['n_iters']),
+                                  np.asarray(plain['n_iters']))
+
+    # n_init not divisible by the restart axis: pad restarts are
+    # excluded from scheduling and selection.
+    plain7 = aa_fit_restarts(X, 3, jax.random.PRNGKey(3), n_init=7,
+                             **kw)
+    sharded7 = aa_fit_restarts(X, 3, jax.random.PRNGKey(3), n_init=7,
+                               mesh=mesh, **kw)
+    assert sharded7['costs'].shape == (7,)
+    assert sharded7['cost'] == pytest.approx(plain7['cost'], rel=1e-10)
+
+
+@pytest.mark.slow
+def test_compacted_gpnh_on_mesh_matches_single_chip():
+    from convex_dim_red_tpu.parallel.restarts import gpnh_fit_restarts
+    X = _planted(np.random.RandomState(5))
+    key = jax.random.PRNGKey(4)
+    kw = dict(tolerance=1e-10, max_iterations=200, lambda_W=1e-3,
+              compact_iterations=15, restart_chunk=2)
+    plain = gpnh_fit_restarts(X, 3, key, n_init=8, **kw)
+    mesh = create_mesh(shape=(4,), axis_names=("restarts",),
+                       devices=jax.devices()[:4])
+    sharded = gpnh_fit_restarts(X, 3, key, n_init=8, mesh=mesh, **kw)
+    assert sharded['cost'] == pytest.approx(plain['cost'], rel=1e-10)
+    assert np.allclose(np.asarray(sharded['costs']),
+                       np.asarray(plain['costs']), rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(sharded['n_iters']),
+                                  np.asarray(plain['n_iters']))
