@@ -352,7 +352,12 @@ def main():
                 'max_iterations': DICT_MAX_ITERATIONS},
             weights_solver_kwargs={'max_iterations': WEIGHTS_MAX_ITERATIONS,
                                    'backend': backend},
-            restart_chunk=25, screen_iterations=50)
+            # screen_margin guards the pruning heuristic: any restart
+            # within 2.0 cost units (~0.05% of the objective) of the
+            # fractional cut also survives, so a near-tied eventual
+            # winner cannot be pruned by a hair; the screen diagnostics
+            # (cut, kept count, observed margin) are reported below.
+            restart_chunk=25, screen_iterations=50, screen_margin=2.0)
 
     run_screened()  # compile
     t0 = time.perf_counter()
@@ -445,7 +450,9 @@ def main():
             "screened_cost_f64_audit": round(
                 audit_cost_f64(screened, X_host), 4),
             "screened_vs_baseline": round(
-                baseline_seconds / screened_elapsed, 2),
+                ((baseline_seconds_measured if baseline_seconds_measured
+                  else baseline_seconds)) / screened_elapsed, 2),
+            "screened_diag": screened.get("screen"),
             # None values flag an invalid two-point-slope measurement
             # (relay jitter produced a non-positive slope).
             "gram_matmul_gflops_per_s": (

@@ -87,8 +87,66 @@ def config4():
             "workload": "jra55_scale_pca167_gpnh_k4_best16"}
 
 
+def config2_ref():
+    """NumPy denominator for the reference frozen gap scale
+    (N_TRIALS=100, reference bin/run_hadisst_kmeans_wrapper.sh:40-44):
+    the k-means fit is measured end-to-end; the gap trials are measured
+    on a 5-trial subset and scaled linearly over the independent trial
+    axis (x20) — trials are independent reference draws (reference
+    kmeans.py:97-100 runs them as independent joblib tasks), so the
+    scaling is exact in expectation.  Labeled as scaled."""
+    X = _hadisst_scale_data()
+    rng = np.random.RandomState(0)
+    t0 = time.perf_counter()
+    _, inertia = kmeans_fit_numpy(X, 4, rng, n_init=10)
+    fit_seconds = time.perf_counter() - t0
+    n_sub = 5
+    t0 = time.perf_counter()
+    gap, sk = gap_statistic_numpy(X, inertia, 4, n_trials=n_sub,
+                                  rng=rng, n_init=10)
+    sub_seconds = time.perf_counter() - t0
+    scaled = fit_seconds + sub_seconds * (100.0 / n_sub)
+    return {"seconds": scaled,
+            "method": "measured kmeans fit + %d-trial gap subset "
+                      "scaled x%g over the independent trial axis"
+                      % (n_sub, 100.0 / n_sub),
+            "fit_seconds": fit_seconds,
+            "gap_subset_seconds": sub_seconds,
+            "n_trials_measured": n_sub,
+            "workload": "hadisst_scale_kmeans_k4_gap100_scaled"}
+
+
+def config4_ref():
+    """NumPy denominator for the reference frozen restart scale
+    (N_INIT=100, reference bin/run_jra55_pca_gpnh_wrapper.sh:40-44):
+    PCA measured end-to-end; GPNH restarts measured as a best-of-4
+    subset and scaled linearly over the independent restart axis
+    (x25).  Labeled as scaled."""
+    X = _hadisst_scale_data(n=732, d=8192)
+    n_sub = 4
+    t0 = time.perf_counter()
+    pcs, _ = pca_numpy(X, 167)
+    pca_seconds = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, _, cost, n_iter = gpnh_multi_restart_numpy(
+        pcs, 4, n_init=n_sub, seed=0, lambda_W=1e-3, tolerance=1e-5,
+        stopping_criterion='rel_delta_f', max_iterations=300,
+        weights_iterations=1000)
+    sub_seconds = time.perf_counter() - t0
+    scaled = pca_seconds + sub_seconds * (100.0 / n_sub)
+    return {"seconds": scaled,
+            "method": "measured PCA + best-of-%d GPNH subset scaled "
+                      "x%g over the independent restart axis"
+                      % (n_sub, 100.0 / n_sub),
+            "pca_seconds": pca_seconds,
+            "restart_subset_seconds": sub_seconds,
+            "n_init_measured": n_sub,
+            "workload": "jra55_scale_pca167_gpnh_k4_best100_scaled"}
+
+
 def main():
-    which = sys.argv[1:] or ["config1", "config2", "config4"]
+    which = sys.argv[1:] or ["config1", "config2", "config4",
+                             "config2_ref", "config4_ref"]
     results = {}
     if os.path.exists(OUT):
         with open(OUT) as f:

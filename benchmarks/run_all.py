@@ -76,9 +76,25 @@ def config2_kmeans():
                                 random_state=0)
         return model, gap, sk
     (model, gap, sk), seconds = timed(run)
+
+    # Reference frozen experiment scale: gap N_TRIALS=100
+    # (reference bin/run_hadisst_kmeans_wrapper.sh:40-44).  Run
+    # unconditionally on the TPU side; the NumPy denominator is
+    # measured as a trial subset scaled over the independent trial
+    # axis (benchmarks/measure_baselines.py config2_ref).
+    def run_ref():
+        model = KMeans(n_clusters=4, n_init=10, random_state=0).fit(X)
+        gap, sk = gap_statistic(X, model.inertia_, 4, n_trials=100,
+                                random_state=0)
+        return model, gap, sk
+    (model_r, gap_r, sk_r), seconds_ref = timed(run_ref)
     return {"config": "hadisst_scale_kmeans_k4_gap20",
             "seconds": round(seconds, 4),
-            "inertia": model.inertia_, "gap": gap, "gap_sk": sk}
+            "inertia": model.inertia_, "gap": gap, "gap_sk": sk,
+            "ref_scale": {"n_trials": 100,
+                          "seconds": round(seconds_ref, 4),
+                          "inertia": model_r.inertia_,
+                          "gap": gap_r, "gap_sk": sk_r}}
 
 
 def config3_headline():
@@ -95,19 +111,29 @@ def config4_pca_gpnh():
     """JRA-55 protocol: PCA to 167 modes, then GPNH best-of-16."""
     X = jax.device_put(_hadisst_scale_data(n=732, d=8192))
 
-    def run():
+    def run(n_init):
         pca = PCA(n_components=167)
         pcs = pca.fit_transform(X)
         result = gpnh_fit_restarts(
-            np.asarray(pcs), 4, jax.random.PRNGKey(0), n_init=16,
+            np.asarray(pcs), 4, jax.random.PRNGKey(0), n_init=n_init,
             lambda_W=1e-3, tolerance=1e-5,
             stopping_criterion='rel_delta_f', max_iterations=300,
             weights_solver_kwargs={'max_iterations': 1000})
         return result
-    result, seconds = timed(run)
+    result, seconds = timed(lambda: run(16))
+
+    # Reference frozen experiment scale: N_INIT=100
+    # (reference bin/run_jra55_pca_gpnh_wrapper.sh:40-44).  NumPy
+    # denominator: restart subset scaled over the independent restart
+    # axis (benchmarks/measure_baselines.py config4_ref).
+    result_r, seconds_ref = timed(lambda: run(100))
     return {"config": "jra55_scale_pca167_gpnh_k4_best16",
             "seconds": round(seconds, 4), "cost": result['cost'],
-            "n_iter": result['n_iter']}
+            "n_iter": result['n_iter'],
+            "ref_scale": {"n_init": 100,
+                          "seconds": round(seconds_ref, 4),
+                          "cost": result_r['cost'],
+                          "n_iter": result_r['n_iter']}}
 
 
 def config5_sweep():
@@ -149,6 +175,18 @@ def _attach_measured_baselines(report):
         for key in ("cost", "inertia"):
             if key in base:
                 entry["baseline_" + key] = base[key]
+        # Reference frozen-scale comparison (TPU measured at full
+        # n_trials=100 / n_init=100; NumPy side a labeled scaled
+        # subset — see measure_baselines.config{2,4}_ref).
+        ref_base = baselines.get(name + "_ref")
+        ref_entry = entry.get("ref_scale")
+        if ref_base and isinstance(ref_entry, dict) \
+                and "seconds" in ref_entry:
+            ref_entry["baseline_seconds_scaled"] = round(
+                ref_base["seconds"], 2)
+            ref_entry["baseline_method"] = ref_base["method"]
+            ref_entry["vs_baseline_scaled"] = round(
+                ref_base["seconds"] / ref_entry["seconds"], 2)
 
 
 def main():

@@ -37,6 +37,14 @@ __all__ = ["quad_simplex_qp_pallas", "quad_simplex_qp_pallas_grouped",
 
 LANES = 128
 
+#: Default per-segment simplex projection of the lane-packed kernels:
+#: 'michelot' (exact threshold by active-set iteration, ~2x fewer MXU
+#: matmuls per SPG iteration) or 'bisect' (legacy fixed-trip threshold
+#: bisection, kept as the A/B reference —
+#: benchmarks/qp_projection_ab.py).  Callers override per call with
+#: ``projection=``; benchmarks flip this module knob to A/B whole fits.
+PACKED_PROJECTION = 'michelot'
+
 
 def _bisect_steps(dtype):
     # Halvings of the width-1 threshold bracket until it is below the
@@ -363,7 +371,8 @@ def quad_simplex_qp_pallas_grouped(As, Bs, X0s, max_iterations=1000,
 def _packed_solve_vmem(A, B, X0, S, mask, write_out,
                        X_ref, AX_ref, alpha_ref, active_ref, stall_ref, *,
                        k_pad, max_iterations, alpha0, alpha_min,
-                       alpha_max, epsilon_one, epsilon_two, bisect_steps):
+                       alpha_max, epsilon_one, epsilon_two, bisect_steps,
+                       projection='michelot', proj_steps=None):
     """QP solve with P = LANES // k_pad problems packed per lane row.
 
     ``A`` holds the block-diagonal (LANES, LANES) Hessian (P copies
@@ -374,6 +383,15 @@ def _packed_solve_vmem(A, B, X0, S, mask, write_out,
     every segment — see :func:`_qp_kernel` on why it is runtime).
     Segment max uses a masked roll butterfly.  Per-problem scalars live
     broadcast across their segment's lanes.
+
+    ``projection``: the per-segment simplex projection.  'michelot'
+    (default) computes the EXACT threshold by active-set iteration
+    (Michelot 1986: ``tau = (sum_active x - 1)/|active|``, deactivate
+    ``x <= tau``; the active set only shrinks, so ``proj_steps`` =
+    number of real components bounds the fixed-trip count) — 2 segment
+    matmuls per step, ~2x fewer MXU matmuls per SPG iteration than the
+    legacy 'bisect' (26 halvings of a width-1 bracket), which remains
+    as the A/B reference (benchmarks/qp_projection_ab.py).
     """
     dtype = X0.dtype
     block = X0.shape[0]
@@ -401,8 +419,32 @@ def _packed_solve_vmem(A, B, X0, S, mask, write_out,
             s *= 2
         return v
 
-    def project(x):
-        # Simplex projection per segment; bisection on the threshold.
+    def _seg_tau(x, act_f):
+        s = segsum(x * act_f)
+        c = jnp.maximum(segsum(act_f), 1.0)
+        return (s - 1.0) / c
+
+    def project_michelot(x):
+        # Exact per-segment threshold by active-set iteration.  The
+        # maximum lane of a segment can never drop out (its threshold
+        # satisfies tau < max(x)), so the c >= 1 guard only protects
+        # fully-masked segments.  The active set is carried as a
+        # 0.0/1.0 FLOAT vector (same convention as ``active_ref`` —
+        # Mosaic-safe loop carry, and it doubles as the multiplicative
+        # mask feeding the segment-sum matmuls).
+        mask_f = jnp.where(mask, jnp.ones_like(x), 0.0)
+
+        def body(_, act_f):
+            tau = _seg_tau(x, act_f)
+            return jnp.where(x > tau, act_f, 0.0)
+
+        steps = k_pad if proj_steps is None else proj_steps
+        act_f = jax.lax.fori_loop(0, steps, body, mask_f)
+        tau = _seg_tau(x, act_f)
+        return jnp.where(mask, jnp.maximum(x - tau, 0.0), 0.0)
+
+    def project_bisect(x):
+        # Legacy: bisection on the threshold.
         hi = segmax(x)
         lo = hi - 1.0
 
@@ -417,6 +459,9 @@ def _packed_solve_vmem(A, B, X0, S, mask, write_out,
         lo, hi = jax.lax.fori_loop(0, bisect_steps, body, (lo, hi))
         tau = 0.5 * (lo + hi)
         return jnp.where(mask, jnp.maximum(x - tau, 0.0), 0.0)
+
+    project = (project_michelot if projection == 'michelot'
+               else project_bisect)
 
     X = project(X0)
     AX = jnp.dot(X, A, preferred_element_type=dtype,
@@ -478,7 +523,7 @@ def _packed_solve_vmem(A, B, X0, S, mask, write_out,
         stall = jnp.where(no_progress, stall + 1.0, 0.0)
 
         scale = jnp.minimum(alpha_used, 1.0)
-        d2 = segsum(D * D)
+        d2 = sksk
         dinf = segmax(jnp.abs(D))
         converged = ((d2 < (epsilon_two * scale) * (epsilon_two * scale))
                      | (dinf < epsilon_one * scale) | (stall >= 3.0))
@@ -531,11 +576,14 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
                                   alpha0=-1.0, alpha_min=1e-5,
                                   alpha_max=1e3, epsilon_one=1e-10,
                                   epsilon_two=1e-6, block_rows=256,
-                                  interpret=False, mask=None):
+                                  interpret=False, mask=None,
+                                  projection=None):
     """Lane-packed fused QP solve: P = 128 // next_pow2(k) problems per
     lane row (full VPU/MXU utilization for small ``k``, vs 1 problem per
     row in :func:`quad_simplex_qp_pallas`).  Requires ``k <= 64``.
-    ``mask`` as in :func:`quad_simplex_qp_pallas`."""
+    ``mask`` as in :func:`quad_simplex_qp_pallas`; ``projection`` as in
+    :func:`_packed_solve_vmem` ('michelot' exact threshold, 'bisect'
+    legacy)."""
     A = jnp.asarray(A)
     B = jnp.asarray(B)
     X0 = jnp.asarray(X0)
@@ -572,7 +620,8 @@ def quad_simplex_qp_pallas_packed(A, B, X0, max_iterations=1000,
         max_iterations=int(max_iterations), alpha0=float(alpha0),
         alpha_min=float(alpha_min), alpha_max=float(alpha_max),
         epsilon_one=float(epsilon_one), epsilon_two=float(epsilon_two),
-        bisect_steps=26 if dtype == jnp.float32 else 52)
+        bisect_steps=26 if dtype == jnp.float32 else 52,
+        projection=projection or PACKED_PROJECTION, proj_steps=int(k))
 
     out = pl.pallas_call(
         kernel,
@@ -614,7 +663,8 @@ def quad_simplex_qp_pallas_packed_grouped(As, Bs, X0s,
                                           epsilon_one=1e-10,
                                           epsilon_two=1e-6,
                                           block_rows=256,
-                                          interpret=False, mask=None):
+                                          interpret=False, mask=None,
+                                          projection=None):
     """Grouped lane-packed QP solve: R groups (one Hessian each), P
     problems per lane row within each group.
 
@@ -662,7 +712,8 @@ def quad_simplex_qp_pallas_packed_grouped(As, Bs, X0s,
         max_iterations=int(max_iterations), alpha0=float(alpha0),
         alpha_min=float(alpha_min), alpha_max=float(alpha_max),
         epsilon_one=float(epsilon_one), epsilon_two=float(epsilon_two),
-        bisect_steps=26 if dtype == jnp.float32 else 52)
+        bisect_steps=26 if dtype == jnp.float32 else 52,
+        projection=projection or PACKED_PROJECTION, proj_steps=int(k))
 
     out = pl.pallas_call(
         kernel,

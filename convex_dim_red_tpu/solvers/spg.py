@@ -576,7 +576,7 @@ def _pallas_qp_kwargs(solver_kwargs):
     return {k: v for k, v in solver_kwargs.items()
             if k in ("max_iterations", "alpha0", "alpha_min",
                      "alpha_max", "epsilon_one", "epsilon_two",
-                     "interpret")}
+                     "interpret", "projection")}
 
 
 @apply_matmul_precision

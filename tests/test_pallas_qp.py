@@ -245,3 +245,45 @@ def test_pallas_all_true_mask_equals_no_mask():
         A, B, X0, max_iterations=400, interpret=True,
         mask=np.ones(5, bool)))
     assert np.allclose(X_plain, X_mask, atol=1e-12)
+
+
+def test_packed_michelot_projection_matches_bisect():
+    """The Michelot active-set projection (the packed kernels' default;
+    exact threshold, ~2x fewer MXU matmuls per iteration) must agree
+    with the legacy bisection projection and with the XLA solver, and
+    produce exactly feasible rows."""
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_packed)
+    rng = np.random.RandomState(21)
+    A, B, X0 = _problem(rng, 23, 6, scale=10.0)
+    Xm = np.asarray(quad_simplex_qp_pallas_packed(
+        A, B, X0, max_iterations=500, interpret=True,
+        projection='michelot'))
+    Xb = np.asarray(quad_simplex_qp_pallas_packed(
+        A, B, X0, max_iterations=500, interpret=True,
+        projection='bisect'))
+    Xx = np.asarray(quad_simplex_spg_batch(
+        A, B, X0, backend='xla', max_iterations=500))
+    assert np.abs(_obj(Xm, A, B) - _obj(Xb, A, B)).max() < 1e-8
+    assert np.abs(_obj(Xm, A, B) - _obj(Xx, A, B)).max() < 1e-6
+    assert np.allclose(Xm.sum(axis=1), 1.0, atol=1e-12)
+    assert Xm.min() >= 0.0
+
+
+@pytest.mark.slow
+def test_packed_michelot_masked_pins_padded_lanes():
+    from convex_dim_red_tpu.ops.pallas_qp import (
+        quad_simplex_qp_pallas_packed)
+    rng = np.random.RandomState(22)
+    A, B, X0 = _problem(rng, 17, 7, scale=5.0)
+    X0 = np.where(np.arange(7) < 4, X0, 0.0)
+    X0 = X0 / X0.sum(axis=1, keepdims=True)
+    mask = np.arange(7) < 4
+    Xm = np.asarray(quad_simplex_qp_pallas_packed(
+        A, B, X0, max_iterations=500, interpret=True, mask=mask,
+        projection='michelot'))
+    Xx = np.asarray(quad_simplex_spg_batch(
+        A, B, X0, backend='xla', max_iterations=500,
+        mask=np.asarray(mask)))
+    assert np.all(Xm[:, 4:] == 0.0)
+    assert np.abs(_obj(Xm, A, B) - _obj(Xx, A, B)).max() < 1e-6
