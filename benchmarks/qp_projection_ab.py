@@ -45,21 +45,38 @@ def main():
     jax.block_until_ready((As, Bs, X0))
 
     import functools
+    import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def run_kernel(As, Bs, X0, projection):
         return pallas_qp.quad_simplex_qp_pallas_packed_grouped(
             As, Bs, X0, max_iterations=500, projection=projection)
 
+    REPS = 4
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def run_reps(As, Bs, X0, projection, reps):
+        # In-loop invocations with a loop-carried perturbation: the
+        # relay short-circuits repeated executions of an identical
+        # (program, buffers) pair, so timing repeated identical calls
+        # measures nothing (observed ~35 us for a millisecond kernel).
+        def body(_, s):
+            sol = pallas_qp.quad_simplex_qp_pallas_packed_grouped(
+                As * (1.0 + s), Bs, X0, max_iterations=500,
+                projection=projection)
+            return jnp.sum(sol) * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
     sols = {}
     for proj in ("bisect", "michelot"):
         sols[proj] = jax.block_until_ready(
-            run_kernel(As, Bs, X0, proj))  # compile + warm
+            run_kernel(As, Bs, X0, proj))  # solution for parity checks
+        float(run_reps(As, Bs, X0, proj, REPS))  # compile + warm
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run_kernel(As, Bs, X0, proj))
-            best = min(best, time.perf_counter() - t0)
+            float(run_reps(As, Bs, X0, proj, REPS))
+            best = min(best, (time.perf_counter() - t0) / REPS)
         out["kernel_%s_s" % proj] = round(best, 5)
         print(json.dumps({proj: best}), flush=True)
 
@@ -100,8 +117,15 @@ def main():
                 'backend': 'pallas'},
             restart_chunk=25, compact_iterations=bench.COMPACT_ITERS)
 
+    from convex_dim_red_tpu.parallel import restarts as restarts_mod
     for proj in ("bisect", "michelot"):
         pallas_qp.PACKED_PROJECTION = proj
+        # The module knob is read at TRACE time; the fit's round
+        # runners are lru-cached without it in the key, so each arm
+        # must drop the cached (already-traced) runners or the second
+        # arm silently reuses the first arm's compiled programs.
+        restarts_mod._make_aa_grouped_round_run.cache_clear()
+        restarts_mod._make_aa_grouped_run.cache_clear()
         t0 = time.perf_counter()
         result = run_fit()
         cold = time.perf_counter() - t0

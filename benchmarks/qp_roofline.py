@@ -83,8 +83,8 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(3, 4))
-    def run_reps(As, Bs, X0, cap, reps):
+    @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+    def run_reps(As, Bs, X0, cap, reps, projection):
         # Loop-carried perturbation: reps kernel invocations per
         # dispatch so the ~40 ms relay round trip amortizes out; the
         # consume-sum prevents dead-code elimination.
@@ -92,80 +92,94 @@ def main():
             out = quad_simplex_qp_pallas_packed_grouped(
                 As * (1.0 + s), Bs, X0, max_iterations=cap,
                 epsilon_one=0.0, epsilon_two=0.0,
-                block_rows=BLOCK_ROWS)
+                block_rows=BLOCK_ROWS, projection=projection)
             return jnp.sum(out) * 1e-30
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    times = {}
-    for cap in CAPS:
-        # compile + warm
-        float(run_reps(As_d, Bs_d, X0_d, cap, REPS))
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run_reps(As_d, Bs_d, X0_d, cap, REPS))
-            best = min(best, (time.perf_counter() - t0) / REPS)
-        times[cap] = best
-        print(json.dumps({"cap": cap, "seconds_per_call": best}),
-              flush=True)
-
-    slope = (times[CAPS[1]] - times[CAPS[0]]) / (CAPS[1] - CAPS[0])
-    slope_check = (times[CAPS[2]] - times[CAPS[1]]) / (CAPS[2] - CAPS[1])
-    per_iter_group = slope / R
-
-    # Compute model (see module docstring).
+    # Matmul-count models per projection (see module docstring):
+    # bisect = 26 projection + 1 Hessian + 3 step scalars + 2 f-value;
+    # michelot = 2*(k+1) projection + same 6 (duplicate d2 reused).
+    models = {
+        "bisect": {"projection": 26, "other": 6},
+        "michelot": {"projection": 2 * (K + 1), "other": 6},
+    }
     matmul_flops = 2.0 * BLOCK_ROWS * LANES * LANES
-    matmuls_per_iter = 26 + 1 + 3 + 2
-    flops_per_iter_group = matmuls_per_iter * matmul_flops
     peak = peak_flops_bf16(jax.devices()[0])
     mxu_f32_highest = peak / 6.0 if peak else None
-    bound_s = (flops_per_iter_group / mxu_f32_highest
-               if mxu_f32_highest else None)
-    achieved_tflops = flops_per_iter_group / per_iter_group / 1e12
-
     hbm_bytes = R * (4 * (LANES * LANES + 3 * BLOCK_ROWS * LANES
                           + LANES * LANES))
-    out = {
-        "kernel": "quad_simplex_qp_pallas_packed_grouped",
-        "shape": {"R": R, "n": N, "k": K, "k_pad": 8,
-                  "problems_per_lane_row": 16,
-                  "block_rows": BLOCK_ROWS, "grid": [R, 1]},
-        "method": ("slope of wall time vs max_iterations on cold QPs "
-                   "(epsilons=0 so every packed row stays active), "
-                   "%d in-loop invocations per dispatch, best of 3" %
-                   REPS),
-        "seconds_per_call_at_cap": {str(c): times[c] for c in CAPS},
-        "per_inner_iteration_seconds_all_groups": slope,
-        "per_inner_iteration_seconds_all_groups_check_24_96": slope_check,
-        "per_inner_iteration_seconds_per_group": per_iter_group,
-        "model": {
-            "matmuls_per_iteration": matmuls_per_iter,
-            "matmuls_breakdown": {"projection_bisection": 26,
-                                  "hessian_apply": 1,
-                                  "step_scalars": 3,
-                                  "progress_fval": 2},
-            "flops_per_iteration_per_group": flops_per_iter_group,
-            "hbm_bytes_per_invocation": hbm_bytes,
-        },
-        "achieved_tflops_f32_highest": achieved_tflops,
-        "mxu_f32_highest_bound_tflops": (
-            mxu_f32_highest / 1e12 if mxu_f32_highest else None),
-        "mxu_bound_seconds_per_iteration_per_group": bound_s,
-        "fraction_of_mxu_bound": (bound_s / per_iter_group
-                                  if bound_s else None),
-        "device": str(jax.devices()[0]),
-    }
+
     path = os.path.join(REPO, "benchmarks", "qp_roofline.json")
     prev = {}
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-    prev["packed_grouped"] = out
-    with open(path, "w") as f:
-        json.dump(prev, f, indent=2)
-    print(json.dumps({"per_iter_group_us": per_iter_group * 1e6,
-                      "fraction_of_mxu_bound":
-                          out["fraction_of_mxu_bound"]}), flush=True)
+
+    for projection, model in models.items():
+        times = {}
+        for cap in CAPS:
+            # compile + warm
+            float(run_reps(As_d, Bs_d, X0_d, cap, REPS, projection))
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run_reps(As_d, Bs_d, X0_d, cap, REPS, projection))
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            times[cap] = best
+            print(json.dumps({"projection": projection, "cap": cap,
+                              "seconds_per_call": best}), flush=True)
+
+        slope = (times[CAPS[1]] - times[CAPS[0]]) / (CAPS[1] - CAPS[0])
+        slope_check = ((times[CAPS[2]] - times[CAPS[1]])
+                       / (CAPS[2] - CAPS[1]))
+        per_iter_group = slope / R
+
+        matmuls_per_iter = model["projection"] + model["other"]
+        flops_per_iter_group = matmuls_per_iter * matmul_flops
+        bound_s = (flops_per_iter_group / mxu_f32_highest
+                   if mxu_f32_highest else None)
+        achieved_tflops = flops_per_iter_group / per_iter_group / 1e12
+
+        out = {
+            "kernel": "quad_simplex_qp_pallas_packed_grouped",
+            "projection": projection,
+            "shape": {"R": R, "n": N, "k": K, "k_pad": 8,
+                      "problems_per_lane_row": 16,
+                      "block_rows": BLOCK_ROWS, "grid": [R, 1]},
+            "method": ("slope of wall time vs max_iterations on cold "
+                       "QPs (epsilons=0 so every packed row stays "
+                       "active), %d in-loop invocations per dispatch, "
+                       "best of 3" % REPS),
+            "seconds_per_call_at_cap": {str(c): times[c] for c in CAPS},
+            "per_inner_iteration_seconds_all_groups": slope,
+            "per_inner_iteration_seconds_all_groups_check_24_96":
+                slope_check,
+            "per_inner_iteration_seconds_per_group": per_iter_group,
+            "model": {
+                "matmuls_per_iteration": matmuls_per_iter,
+                "matmuls_breakdown": {
+                    "projection": model["projection"],
+                    "hessian_apply": 1, "step_scalars": 3,
+                    "progress_fval": 2},
+                "flops_per_iteration_per_group": flops_per_iter_group,
+                "hbm_bytes_per_invocation": hbm_bytes,
+            },
+            "achieved_tflops_f32_highest": achieved_tflops,
+            "mxu_f32_highest_bound_tflops": (
+                mxu_f32_highest / 1e12 if mxu_f32_highest else None),
+            "mxu_bound_seconds_per_iteration_per_group": bound_s,
+            "fraction_of_mxu_bound": (bound_s / per_iter_group
+                                      if bound_s else None),
+            "device": str(jax.devices()[0]),
+        }
+        prev["packed_grouped_" + projection] = out
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=2)
+        print(json.dumps({"projection": projection,
+                          "per_iter_group_us": per_iter_group * 1e6,
+                          "fraction_of_mxu_bound":
+                              out["fraction_of_mxu_bound"]}),
+              flush=True)
 
 
 if __name__ == "__main__":
