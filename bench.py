@@ -421,6 +421,11 @@ def main():
                 if baseline_seconds_measured else None),
             "baseline_measured_seed_rel_spread": (
                 round(e2e["seed_mean_rel_spread"], 3) if e2e else None),
+            "baseline_measured_sem_rel": (
+                round(e2e["per_restart_mean_sem_rel"], 4)
+                if e2e and "per_restart_mean_sem_rel" in e2e else None),
+            "baseline_measured_n_restarts": (
+                len(e2e["restarts"]) if e2e else None),
             "baseline_measured_mean_outer_iters": (
                 round(e2e["mean_outer_iters"], 1) if e2e else None),
             "vs_baseline_reconstructed": round(
